@@ -1,0 +1,3 @@
+from edgestyle_tpu.schedulers.ddpm import NoiseSchedule, DDPMScheduler
+from edgestyle_tpu.schedulers.ddim import DDIMScheduler
+from edgestyle_tpu.schedulers.unipc import UniPCScheduler
