@@ -1,0 +1,244 @@
+"""EdgeStyle 6-branch MultiControlNet: interleave + grouped-conv fusion.
+
+Re-implements the reference's EdgeStyleMultiControlNetModel
+(/root/reference/model/edgestyle_multicontrolnet.py):
+
+  * each of the 6 branches produces 12 down residuals + 1 mid residual
+    (:133-152);
+  * per skip position, the 6 tensors are channel-interleaved
+    (c-major: index = c*6 + net, `interleave_tensors` :479-514);
+  * a trainable ControlNetBlock fuses 6C→C: grouped 1x1 conv (6C→3C,
+    groups=3C — pairs nets (0,1),(2,3),(4,5) per channel) → LayerNorm over
+    the full [C,H,W] extent → SiLU → grouped 1x1 (3C→C, groups=C) → LN →
+    SiLU → per-channel 1x1 (C→C, groups=C) (:23-63);
+  * branch pattern [0, None, 1, None, 1, None] (train...py:63): branch 0 =
+    ControlLoRA "A", branches 2 & 4 = the *same* ControlLoRA "B", branches
+    1/3/5 = one frozen openpose ControlNet used three times.
+
+TPU-first: branches that share parameters are executed as ONE batched
+trunk call (openpose×3 → batch 3B, loraB×2 → batch 2B, loraA → B), cutting
+6 sequential ControlNet forwards to 3 bigger ones that tile better onto
+the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from edgestyle_tpu.models.unet import SD15UNet, UNetConfig
+
+# SD1.5 @ 512px skip geometry (reference hardcodes the same,
+# edgestyle_multicontrolnet.py:72-102)
+SD15_DOWN_CHANNELS = (320, 320, 320, 320, 640, 640, 640, 1280, 1280, 1280, 1280, 1280)
+SD15_DOWN_SIZES = ((64, 64),) * 3 + ((32, 32),) * 3 + ((16, 16),) * 3 + ((8, 8),) * 3
+SD15_MID_CHANNELS = 1280
+SD15_MID_SIZE = (8, 8)
+
+CONTROLNET_PATTERN = (0, None, 1, None, 1, None)  # reference train...py:63
+
+
+def interleave_residuals(tensors: Sequence[jax.Array]) -> jax.Array:
+    """Channel-interleave N same-shape NHWC tensors: out channel index
+    c*N + n (channel-major), matching the reference's permute+view."""
+    stacked = jnp.stack(tensors, axis=-1)  # (B,H,W,C,N)
+    b, h, w, c, n = stacked.shape
+    return stacked.reshape(b, h, w, c * n)
+
+
+class FullLayerNorm(nn.Module):
+    """torch nn.LayerNorm(normalized_shape=[C,H,W]) on NHWC input: stats and
+    elementwise affine over the entire (H,W,C) extent per sample."""
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        scale = self.param("scale", nn.initializers.ones, (h, w, c), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (h, w, c), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+        return out.astype(x.dtype)
+
+
+class ControlNetFusionBlock(nn.Module):
+    """6C → C fusion (reference ControlNetBlock, :23-63)."""
+
+    channels: int
+    num_nets: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c, n = self.channels, self.num_nets
+        x = nn.Conv(
+            c * n // 2, (1, 1), feature_group_count=c * n // 2,
+            dtype=self.dtype, name="first_conv",
+        )(x)
+        x = FullLayerNorm(name="first_normalization")(x)
+        x = jax.nn.silu(x)
+        x = nn.Conv(
+            c, (1, 1), feature_group_count=c, dtype=self.dtype, name="second_conv"
+        )(x)
+        x = FullLayerNorm(name="second_normalization")(x)
+        x = jax.nn.silu(x)
+        x = nn.Conv(c, (1, 1), feature_group_count=c, dtype=self.dtype, name="third_conv")(x)
+        return x
+
+
+class EdgeStyleFusion(nn.Module):
+    """The 13 trainable fusion blocks (12 down + mid)."""
+
+    num_nets: int = 6
+    down_channels: Tuple[int, ...] = SD15_DOWN_CHANNELS
+    mid_channels: int = SD15_MID_CHANNELS
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, down_lists: Sequence[Sequence[jax.Array]], mid_list: Sequence[jax.Array]):
+        """down_lists: per-branch list of 12 residuals; mid_list: per-branch
+        mid residual. Returns (12 fused down, fused mid)."""
+        fused_down = []
+        for k, ch in enumerate(self.down_channels):
+            inter = interleave_residuals([d[k] for d in down_lists])
+            fused_down.append(
+                ControlNetFusionBlock(
+                    ch, self.num_nets, self.dtype, name=f"multi_controlnet_down_blocks_{k}"
+                )(inter)
+            )
+        inter_mid = interleave_residuals(list(mid_list))
+        fused_mid = ControlNetFusionBlock(
+            self.mid_channels, self.num_nets, self.dtype, name="multi_controlnet_mid_block"
+        )(inter_mid)
+        return tuple(fused_down), fused_mid
+
+
+@dataclasses.dataclass(frozen=True)
+class BranchGroup:
+    """A set of branch positions that share one param tree (executed as a
+    single batched trunk call)."""
+
+    positions: Tuple[int, ...]
+    params_key: str  # key into the params dict
+    kind: str  # 'lora' (latent cond) | 'static' (conv cond)
+
+
+def pattern_groups(pattern: Sequence[Optional[int]] = CONTROLNET_PATTERN) -> Tuple[BranchGroup, ...]:
+    """Group branch positions by shared parameters: None → the single
+    static net; integer id → that ControlLoRA instance."""
+    by_key: Dict[str, List[int]] = {}
+    kinds: Dict[str, str] = {}
+    for pos, pid in enumerate(pattern):
+        key = "static" if pid is None else f"lora_{pid}"
+        by_key.setdefault(key, []).append(pos)
+        kinds[key] = "static" if pid is None else "lora"
+    return tuple(
+        BranchGroup(tuple(v), k, kinds[k]) for k, v in sorted(by_key.items())
+    )
+
+
+class EdgeStyleMultiControlNet:
+    """Orchestrator (not a flax module — branches own separate param trees).
+
+    params layout:
+      {
+        'static': <plain ControlNet params (incl. cond embedding)>,
+        'lora_0': <assembled ControlLoRA params (tied trunk + merged LoRA
+                   + zero-conv heads)>,
+        'lora_1': ...,
+        'fusion': <EdgeStyleFusion params>,
+      }
+    Cond inputs are *precomputed 320-ch embeddings* (cached semantics) —
+    the pipeline embeds once per generation, the trainer once per batch.
+    """
+
+    def __init__(
+        self,
+        cfg: UNetConfig = UNetConfig(),
+        pattern: Sequence[Optional[int]] = CONTROLNET_PATTERN,
+        dtype=jnp.float32,
+        attn_impl: str = "auto",
+    ):
+        self.cfg = cfg
+        self.pattern = tuple(pattern)
+        self.groups = pattern_groups(pattern)
+        self.branch = SD15UNet(
+            cfg, controlnet_mode=True, dtype=dtype, attn_impl=attn_impl
+        )
+        down_ch = tuple(self.branch.skip_channels())
+        # infer fusion geometry from the config so tiny test configs work
+        self.fusion = EdgeStyleFusion(
+            num_nets=len(self.pattern),
+            down_channels=down_ch,
+            mid_channels=cfg.block_out_channels[-1],
+            dtype=dtype,
+        )
+
+    def __call__(
+        self,
+        params: Dict,
+        sample: jax.Array,
+        timesteps: jax.Array,
+        encoder_hidden_states: jax.Array,
+        cond_embeddings: Sequence[jax.Array],  # 6 × (B,64,64,320)
+        conditioning_scale: Sequence[float] | jax.Array = None,
+    ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+        n = len(self.pattern)
+        if conditioning_scale is None:
+            conditioning_scale = [1.0] * n
+        b = sample.shape[0]
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (b,))
+
+        down_per_branch: List[Optional[List[jax.Array]]] = [None] * n
+        mid_per_branch: List[Optional[jax.Array]] = [None] * n
+
+        for grp in self.groups:
+            k = len(grp.positions)
+            # batch the shared-param branches: (k*B, ...)
+            smp = jnp.concatenate([sample] * k, axis=0)
+            ts = jnp.concatenate([timesteps] * k, axis=0)
+            ctx = jnp.concatenate([encoder_hidden_states] * k, axis=0)
+            emb = jnp.concatenate([cond_embeddings[p] for p in grp.positions], axis=0)
+            down, mid = self.branch.apply(
+                {"params": params[grp.params_key]},
+                smp, ts, ctx, emb, method="controlnet_forward",
+            )
+            for j, p in enumerate(grp.positions):
+                sl = slice(j * b, (j + 1) * b)
+                down_per_branch[p] = [
+                    d[sl] * conditioning_scale[p] for d in down
+                ]
+                mid_per_branch[p] = mid[sl] * conditioning_scale[p]
+
+        return self.fusion.apply(
+            {"params": params["fusion"]}, down_per_branch, mid_per_branch
+        )
+
+    # ------------------------------------------------------------- init
+    def init_fusion(self, rng, sample_hw: Tuple[int, int] = (64, 64), batch: int = 1):
+        """Initialise fusion params for the given latent resolution."""
+        h, w = sample_hw
+        downs = []
+        mids = []
+        down_ch = tuple(self.branch.skip_channels())
+        # reconstruct per-skip spatial sizes: conv_in + per-stage
+        sizes = [(h, w)]
+        cur = (h, w)
+        chs = self.cfg.block_out_channels
+        for i in range(len(chs)):
+            sizes += [cur] * self.cfg.layers_per_block
+            if i < len(chs) - 1:
+                cur = (cur[0] // 2, cur[1] // 2)
+                sizes.append(cur)
+        for _ in range(len(self.pattern)):
+            downs.append(
+                [jnp.zeros((batch, s[0], s[1], c)) for s, c in zip(sizes, down_ch)]
+            )
+            mids.append(jnp.zeros((batch, cur[0], cur[1], chs[-1])))
+        return self.fusion.init(rng, downs, mids)["params"]
