@@ -1,0 +1,378 @@
+"""EfficientViT-SAM: neck + image encoder + SAM prompt encoder/mask decoder.
+
+Rebuild of /root/reference/efficientvit/models/efficientvit/sam.py (SamNeck
+:109-171, image encoder :174-190, builders :517-595) plus the SAM
+PromptEncoder / MaskDecoder / TwoWayTransformer the reference imports from
+segment_anything. EdgeStyle runs five of these per frame (base l2 + four
+finetuned mask-decoder heads — subject/agnostic/clothes/head;
+extract_dataset.py:60-90), so the decoder is deliberately cheap to re-run
+with swapped head params.
+
+TPU-first notes: all prompts are fixed-size (EdgeStyle only ever uses one
+box or a handful of keypoint-derived points — extract_dataset.py:371-377,
+segmenter trainers use a single GT-derived box), so the prompt encoder
+takes a fixed (B, P, 2) point tensor + label mask and the whole
+photo→masks program is shape-static and jittable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from edgestyle_tpu.models.efficientvit.backbone import (
+    L0, L1, L2, BackboneConfig, EfficientViTLargeBackbone,
+)
+from edgestyle_tpu.models.efficientvit.ops import (
+    ConvLayer,
+    FusedMBConv,
+    LayerNorm2d,
+    MBConv,
+)
+
+
+# --------------------------------------------------------------------- neck
+class SamNeck(nn.Module):
+    """DAG: {stage4, stage3, stage2} → 1x1 conv(→256)+bn → bicubic resize to
+    64×64 → add → N middle FusedMBConv residual blocks → 1x1 out conv."""
+
+    head_depth: int = 12  # l2 (reference sam.py:580)
+    head_width: int = 256
+    out_dim: int = 256
+    middle_op: str = "fmbconv"
+    in_channels: Tuple[int, ...] = (512, 256, 128)
+    fids: Tuple[str, ...] = ("stage4", "stage3", "stage2")
+    feature_hw: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Dict[str, jax.Array]) -> jax.Array:
+        merged = None
+        for i, fid in enumerate(self.fids):
+            y = ConvLayer(
+                self.head_width, 1, norm="bn", act=None, dtype=self.dtype,
+                name=f"input_{fid}",
+            )(feats[fid])
+            b, h, w, c = y.shape
+            if (h, w) != (self.feature_hw, self.feature_hw):
+                y = jax.image.resize(
+                    y.astype(jnp.float32),
+                    (b, self.feature_hw, self.feature_hw, c),
+                    method="bicubic",
+                ).astype(y.dtype)
+            merged = y if merged is None else merged + y
+        x = merged
+        for j in range(self.head_depth):
+            if self.middle_op == "fmbconv":
+                blk = FusedMBConv(
+                    self.head_width, expand_ratio=1, norm=("bn", "bn"),
+                    act=("gelu", None), dtype=self.dtype, name=f"middle_{j}",
+                )
+            else:
+                blk = MBConv(
+                    self.head_width, expand_ratio=4, norm=("bn",) * 3,
+                    act=("gelu", "gelu", None), dtype=self.dtype, name=f"middle_{j}",
+                )
+            x = x + blk(x)
+        x = ConvLayer(
+            self.out_dim, 1, use_bias=True, norm=None, act=None,
+            dtype=self.dtype, name="output_sam_encoder",
+        )(x)
+        return x
+
+
+class SamImageEncoder(nn.Module):
+    backbone_cfg: BackboneConfig = L2
+    neck_depth: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = EfficientViTLargeBackbone(self.backbone_cfg, self.dtype, name="backbone")(x)
+        y = SamNeck(head_depth=self.neck_depth, dtype=self.dtype, name="neck")(feats)
+        return LayerNorm2d(name="norm")(y)
+
+
+# ------------------------------------------------------------- prompt encoder
+class PromptEncoder(nn.Module):
+    """SAM PromptEncoder (embed_dim 256, 64×64 grid, input size 1024).
+
+    Points: (B, P, 2) in input-image pixel coords with labels (B, P):
+      1 = positive, 0 = negative, -1 = padding, 2/3 = box corners.
+    Boxes are encoded by the caller as two corner points with labels 2, 3.
+    """
+
+    embed_dim: int = 256
+    input_size: int = 1024
+    grid_hw: int = 64
+
+    def setup(self):
+        self.pe_gaussian = self.param(
+            "pe_gaussian",
+            lambda k, s: jax.random.normal(k, s, jnp.float32),
+            (2, self.embed_dim // 2),
+        )
+        # 0: neg point, 1: pos point, 2: box tl, 3: box br
+        self.point_embeddings = self.param(
+            "point_embeddings", nn.initializers.normal(1.0), (4, self.embed_dim)
+        )
+        self.not_a_point_embed = self.param(
+            "not_a_point_embed", nn.initializers.normal(1.0), (self.embed_dim,)
+        )
+        self.no_mask_embed = self.param(
+            "no_mask_embed", nn.initializers.normal(1.0), (self.embed_dim,)
+        )
+
+    def _pe(self, coords01: jax.Array) -> jax.Array:
+        """Random-Fourier positional encoding of [0,1] coords (..., 2)."""
+        c = 2.0 * coords01 - 1.0
+        proj = (2.0 * jnp.pi) * (c @ self.pe_gaussian)
+        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+    def dense_pe(self) -> jax.Array:
+        """(grid, grid, embed_dim) positional encoding of the image grid."""
+        g = self.grid_hw
+        ys = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
+        xs = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
+        grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (g,g,2) x,y
+        return self._pe(grid)
+
+    def __call__(self, points: jax.Array, labels: jax.Array):
+        """→ sparse (B, P, 256) embeddings, dense (B, 64, 64, 256)."""
+        coords = (points + 0.5) / self.input_size
+        pe = self._pe(coords)
+        lbl = labels[..., None]
+        emb = jnp.where(lbl == -1, self.not_a_point_embed[None, None], pe)
+        for i in range(4):
+            emb = emb + jnp.where(lbl == i, self.point_embeddings[i], 0.0)
+        b = points.shape[0]
+        dense = jnp.broadcast_to(
+            self.no_mask_embed[None, None, None, :],
+            (b, self.grid_hw, self.grid_hw, self.embed_dim),
+        )
+        return emb, dense
+
+
+def boxes_to_points(boxes: jax.Array):
+    """(B, 4) xyxy → points (B, 2, 2), labels (B, 2) with SAM's +0.5 corner
+    shift applied by the caller-side transform in the reference."""
+    tl = boxes[:, :2]
+    br = boxes[:, 2:]
+    pts = jnp.stack([tl, br], axis=1)
+    lbl = jnp.broadcast_to(jnp.array([2, 3]), (boxes.shape[0], 2))
+    return pts, lbl
+
+
+# ------------------------------------------------------------- mask decoder
+class MLP(nn.Module):
+    hidden: int
+    out: int
+    depth: int
+    sigmoid_out: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.depth - 1):
+            x = jax.nn.relu(nn.Dense(self.hidden, name=f"layers_{i}")(x))
+        x = nn.Dense(self.out, name=f"layers_{self.depth - 1}")(x)
+        if self.sigmoid_out:
+            x = jax.nn.sigmoid(x)
+        return x
+
+
+class Attention(nn.Module):
+    """SAM decoder attention with optional internal downsample."""
+
+    embed_dim: int = 256
+    num_heads: int = 8
+    downsample_rate: int = 1
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        d = self.embed_dim // self.downsample_rate
+        hq = nn.Dense(d, name="q_proj")(q)
+        hk = nn.Dense(d, name="k_proj")(k)
+        hv = nn.Dense(d, name="v_proj")(v)
+        b, nq, _ = hq.shape
+        nk = hk.shape[1]
+        hd = d // self.num_heads
+        qh = hq.reshape(b, nq, self.num_heads, hd).transpose(0, 2, 1, 3)
+        kh = hk.reshape(b, nk, self.num_heads, hd).transpose(0, 2, 1, 3)
+        vh = hv.reshape(b, nk, self.num_heads, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(hd).astype(qh.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(vh.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        o = o.transpose(0, 2, 1, 3).reshape(b, nq, d)
+        return nn.Dense(self.embed_dim, name="out_proj")(o)
+
+
+class TwoWayAttentionBlock(nn.Module):
+    skip_first_layer_pe: bool = False
+    mlp_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_pe):
+        from edgestyle_tpu.models.layers import LayerNorm
+
+        if self.skip_first_layer_pe:
+            queries = Attention(name="self_attn")(queries, queries, queries)
+        else:
+            q = queries + query_pe
+            queries = queries + Attention(name="self_attn")(q, q, queries)
+        queries = LayerNorm(name="norm1")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        queries = queries + Attention(downsample_rate=2, name="cross_attn_token_to_image")(q, k, keys)
+        queries = LayerNorm(name="norm2")(queries)
+
+        h = nn.Dense(self.mlp_dim, name="mlp_lin1")(queries)
+        h = nn.Dense(256, name="mlp_lin2")(jax.nn.relu(h))
+        queries = LayerNorm(name="norm3")(queries + h)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        keys = keys + Attention(downsample_rate=2, name="cross_attn_image_to_token")(k, q, queries)
+        keys = LayerNorm(name="norm4")(keys)
+        return queries, keys
+
+
+class TwoWayTransformer(nn.Module):
+    depth: int = 2
+    mlp_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, image_embedding, image_pe, point_embedding):
+        from edgestyle_tpu.models.layers import LayerNorm
+
+        b, h, w, c = image_embedding.shape
+        keys = image_embedding.reshape(b, h * w, c)
+        key_pe = jnp.broadcast_to(image_pe.reshape(1, h * w, c), keys.shape)
+        queries = point_embedding
+        for i in range(self.depth):
+            queries, keys = TwoWayAttentionBlock(
+                skip_first_layer_pe=(i == 0), mlp_dim=self.mlp_dim,
+                name=f"layers_{i}",
+            )(queries, keys, point_embedding, key_pe)
+        q = queries + point_embedding
+        k = keys + key_pe
+        queries = queries + Attention(downsample_rate=2, name="final_attn_token_to_image")(q, k, keys)
+        queries = LayerNorm(name="norm_final_attn")(queries)
+        return queries, keys
+
+
+class MaskDecoder(nn.Module):
+    num_multimask_outputs: int = 3
+    transformer_dim: int = 256
+    iou_head_depth: int = 3
+
+    @nn.compact
+    def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt,
+                 multimask_output: bool = True):
+        """image_embeddings: (B,64,64,256); sparse: (B,P,256);
+        dense: (B,64,64,256). Returns (masks (B,M,256,256), iou (B,M))."""
+        n_mask_tokens = self.num_multimask_outputs + 1
+        iou_token = self.param("iou_token", nn.initializers.normal(1.0), (1, 256))
+        mask_tokens = self.param(
+            "mask_tokens", nn.initializers.normal(1.0), (n_mask_tokens, 256)
+        )
+        b = sparse_prompt.shape[0]
+        out_tokens = jnp.concatenate([iou_token, mask_tokens], axis=0)
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(out_tokens[None], (b,) + out_tokens.shape), sparse_prompt],
+            axis=1,
+        )
+        src = image_embeddings + dense_prompt
+
+        hs, src_out = TwoWayTransformer(name="transformer")(src, image_pe, tokens)
+        iou_tok_out = hs[:, 0]
+        mask_toks_out = hs[:, 1 : 1 + n_mask_tokens]
+
+        hgrid = src_out.reshape(b, 64, 64, 256)
+        up = nn.ConvTranspose(64, (2, 2), strides=(2, 2), name="upscale_conv1")(hgrid)
+        up = LayerNorm2d(name="upscale_norm")(up).astype(up.dtype)
+        up = jax.nn.gelu(up, approximate=False)
+        up = nn.ConvTranspose(32, (2, 2), strides=(2, 2), name="upscale_conv2")(up)
+        up = jax.nn.gelu(up, approximate=False)  # (B,256,256,32)
+
+        hyper = jnp.stack(
+            [
+                MLP(256, 32, 3, name=f"hyper_mlps_{i}")(mask_toks_out[:, i])
+                for i in range(n_mask_tokens)
+            ],
+            axis=1,
+        )  # (B, M, 32)
+        masks = jnp.einsum("bmc,bhwc->bmhw", hyper, up)
+        iou_pred = MLP(256, n_mask_tokens, self.iou_head_depth, name="iou_mlp")(iou_tok_out)
+
+        if multimask_output:
+            return masks[:, 1:], iou_pred[:, 1:]
+        return masks[:, :1], iou_pred[:, :1]
+
+
+# ---------------------------------------------------------------- assembly
+@dataclasses.dataclass(frozen=True)
+class SamConfig:
+    backbone: BackboneConfig = L2
+    neck_depth: int = 12
+    image_size: int = 512  # EfficientViT-SAM runs at 512 (reference sam.py:214)
+    prompt_input_size: int = 1024
+
+
+SAM_L0 = SamConfig(backbone=L0, neck_depth=4)
+SAM_L1 = SamConfig(backbone=L1, neck_depth=8)
+SAM_L2 = SamConfig(backbone=L2, neck_depth=12)
+
+SAM_PIXEL_MEAN = (123.675, 116.28, 103.53)
+SAM_PIXEL_STD = (58.395, 57.12, 57.375)
+
+
+class EfficientViTSam(nn.Module):
+    """Full SAM: encode once, decode cheaply per prompt/head.
+
+    __call__(image, points, labels) → (masks (B,M,256,256) logits, iou).
+    `image`: (B, 512, 512, 3), already resized/padded, normalized with the
+    SAM mean/std. Point coords live in the 1024-scale prompt frame
+    (matching the reference's predictor transform)."""
+
+    cfg: SamConfig = SAM_L2
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.image_encoder = SamImageEncoder(
+            self.cfg.backbone, self.cfg.neck_depth, self.dtype
+        )
+        self.prompt_encoder = PromptEncoder(input_size=self.cfg.prompt_input_size)
+        self.mask_decoder = MaskDecoder()
+
+    def encode_image(self, image):
+        return self.image_encoder(image)
+
+    def decode(self, embedding, points, labels, multimask_output: bool = True):
+        sparse, dense = self.prompt_encoder(points, labels)
+        image_pe = self.prompt_encoder.dense_pe()
+        return self.mask_decoder(
+            embedding, image_pe, sparse, dense, multimask_output
+        )
+
+    def __call__(self, image, points, labels, multimask_output: bool = True):
+        emb = self.encode_image(image)
+        return self.decode(emb, points, labels, multimask_output)
+
+
+def preprocess_sam_image(img01: jax.Array) -> jax.Array:
+    """(B,H,W,3) in [0,1] (already 512-resized/corner-padded) → normalized."""
+    mean = jnp.asarray(SAM_PIXEL_MEAN) / 255.0
+    std = jnp.asarray(SAM_PIXEL_STD) / 255.0
+    return (img01 - mean) / std
+
+
+def postprocess_masks(masks: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """(B,M,256,256) logits → bilinear to (B,M,*out_hw) (reference
+    postprocess chain sam.py:219-239 with square 512 inputs)."""
+    b, m, h, w = masks.shape
+    return jax.image.resize(masks, (b, m) + tuple(out_hw), method="bilinear")

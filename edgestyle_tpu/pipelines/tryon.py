@@ -1,0 +1,260 @@
+"""End-to-end try-on pipeline: one jitted XLA program per generation.
+
+Mirrors the reference EdgeStyleStableDiffusionControlNetPipeline call
+surface (/root/reference/model/edgestyle_pipeline.py:92-572 — prompt,
+negative prompt, six control images, guidance scale, steps, seed, optional
+pre-made latents) but compiles the whole generation into a single program:
+
+  CLIP text encode (cond+uncond) → one-time cond embedding of the six
+  control images (CachedControlNet semantics: VAE-latent embedding for the
+  ControlLoRA branches 0/2/4, conv-stack for the openpose branches 1/3/5 —
+  reference export_onnx.py:138-149 documents this split) → UniPC denoise
+  scan with CFG → VAE decode → [0,1] images.
+
+The reference runs these as ~45 separate torch module calls per generation
+with host round-trips between them; here XLA sees the whole graph, so
+weights stay resident, the cond embeddings are computed exactly once, and
+the denoise loop is a `lax.scan` with zero host sync until the final image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from edgestyle_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+from edgestyle_tpu.models.multicontrolnet import EdgeStyleMultiControlNet
+from edgestyle_tpu.models.unet import SD15UNet, UNetConfig
+from edgestyle_tpu.models.vae import AutoencoderKL, VAEConfig
+from edgestyle_tpu.schedulers.ddpm import NoiseSchedule
+from edgestyle_tpu.schedulers.unipc import UniPCScheduler
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    unet: UNetConfig = UNetConfig()
+    vae: VAEConfig = VAEConfig()
+    clip: CLIPTextConfig = CLIPTextConfig()
+    num_branches: int = 6
+    # which branch positions take VAE-latent cond embeddings (ControlLoRA)
+    latent_branches: tuple = (0, 2, 4)
+    dtype: str = "bfloat16"
+
+    @property
+    def jnp_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+class EdgeStylePipeline:
+    """params dict layout:
+      {
+        'vae':  AutoencoderKL params,
+        'clip': CLIPTextEncoder params,
+        'unet': SD15UNet params,
+        'controlnet': {'static': ..., 'lora_0': ..., 'lora_1': ..., 'fusion': ...},
+      }
+    """
+
+    def __init__(self, cfg: PipelineConfig = PipelineConfig(), attn_impl: str = "auto"):
+        self.cfg = cfg
+        dt = cfg.jnp_dtype
+        self.vae = AutoencoderKL(cfg.vae, dtype=dt)
+        self.clip = CLIPTextEncoder(cfg.clip, dtype=dt)
+        self.unet = SD15UNet(cfg.unet, dtype=dt, attn_impl=attn_impl)
+        self.mcn = EdgeStyleMultiControlNet(cfg.unet, dtype=dt, attn_impl=attn_impl)
+        self.scheduler = UniPCScheduler(NoiseSchedule.sd15())
+        self.vae_downscale = 2 ** (len(cfg.vae.block_out_channels) - 1)
+
+    # ------------------------------------------------------------------
+    def init_params(self, rng) -> Dict:
+        """Random-init the full param set (tests, benchmarks; real use
+        ports HF checkpoints via core.porting + each model's port_*)."""
+        cfg = self.cfg
+        k = jax.random.split(rng, 8)
+        img = jnp.zeros((1, cfg.vae.sample_size, cfg.vae.sample_size, 3))
+        lat_hw = cfg.vae.sample_size // self.vae_downscale
+        lat = jnp.zeros((1, lat_hw, lat_hw, cfg.unet.in_channels))
+        t = jnp.zeros((1,), jnp.int32)
+        ctx = jnp.zeros((1, cfg.clip.max_positions, cfg.clip.hidden_size))
+        ids = jnp.zeros((1, cfg.clip.max_positions), jnp.int32)
+        emb = jnp.zeros((1, lat_hw, lat_hw, cfg.unet.block_out_channels[0]))
+
+        vae_p = self.vae.init(k[0], img)["params"]
+        clip_p = self.clip.init(k[1], ids)["params"]
+        unet_p = self.unet.init(k[2], lat, t, ctx)["params"]
+
+        from edgestyle_tpu.models.unet import (
+            controllora_params,
+            init_lora_params,
+            split_trunk_params,
+        )
+
+        cn = self.mcn.branch
+        static_p = cn.init(k[3], lat, t, ctx, emb, method="controlnet_forward")["params"]
+        static_p = {**static_p, **cn.init(k[4], img, method="embed_cond")["params"]}
+        heads = {kk: v for kk, v in static_p.items() if kk.startswith("controlnet_")}
+        trunk = split_trunk_params(unet_p)
+        lora0 = init_lora_params(k[5], trunk, rank=32)
+        lora1 = init_lora_params(k[6], trunk, rank=32)
+        fusion = self.mcn.init_fusion(k[7], sample_hw=(lat_hw, lat_hw))
+        return {
+            "vae": vae_p,
+            "clip": clip_p,
+            "unet": unet_p,
+            "controlnet": {
+                "static": static_p,
+                "lora_0": controllora_params(unet_p, lora0, heads),
+                "lora_1": controllora_params(unet_p, lora1, heads),
+                "fusion": fusion,
+            },
+        }
+
+    # ------------------------------------------------------------------
+    def encode_prompt(self, params, prompt_ids, negative_prompt_ids):
+        """(B,77) int32 each → (2B,77,768) [uncond; cond] for CFG."""
+        ids = jnp.concatenate([negative_prompt_ids, prompt_ids], axis=0)
+        return self.clip.apply({"params": params["clip"]}, ids)["last_hidden_state"]
+
+    def embed_cond_images(self, params, cond_images: Sequence[jax.Array], rng=None):
+        """Six (B,512,512,3) images (value range [-1,1] for VAE branches,
+        [0,1] for openpose branches, matching the reference's transform
+        split, model/utils.py:20-35) → six (B,64,64,320) embeddings.
+
+        ControlLoRA branches: vae.encode → ·sf → tied conv_in (reference
+        VAEControlNetConditioningEmbedding, controllora.py:28-43; sampling
+        uses the posterior mode when rng is None).
+        Openpose branches: the conv-stack cond embedding."""
+        cfg = self.cfg
+        embs = []
+        # batch the three VAE encodes into one call, and the three conv
+        # stacks into one call — 6 small convnets → 2 batched ones
+        latent_pos = [p for p in range(cfg.num_branches) if p in cfg.latent_branches]
+        conv_pos = [p for p in range(cfg.num_branches) if p not in cfg.latent_branches]
+
+        out: Dict[int, jax.Array] = {}
+        if latent_pos:
+            stacked = jnp.concatenate([cond_images[p] for p in latent_pos], axis=0)
+            lat = self.vae.apply({"params": params["vae"]}, stacked, rng, method=self.vae.encode)
+            lat = lat * cfg.vae.scaling_factor
+            # tied conv_in of the UNet (same weights as the ControlLoRA trunk)
+            emb = _conv_in_apply(params["unet"]["conv_in"], lat)
+            b = cond_images[0].shape[0]
+            for j, p in enumerate(latent_pos):
+                out[p] = emb[j * b : (j + 1) * b]
+        if conv_pos:
+            stacked = jnp.concatenate([cond_images[p] for p in conv_pos], axis=0)
+            emb = self.mcn.branch.apply(
+                {"params": params["controlnet"]["static"]}, stacked, method="embed_cond"
+            )
+            b = cond_images[0].shape[0]
+            for j, p in enumerate(conv_pos):
+                out[p] = emb[j * b : (j + 1) * b]
+        return [out[p] for p in range(cfg.num_branches)]
+
+    # ------------------------------------------------------------------
+    def _generate(
+        self,
+        params,
+        prompt_ids,
+        negative_prompt_ids,
+        cond_images,
+        rng,
+        num_inference_steps: int,
+        guidance_scale,
+        conditioning_scale,
+        latents,
+        return_latents: bool,
+    ):
+        cfg = self.cfg
+        b = prompt_ids.shape[0]
+        context = self.encode_prompt(params, prompt_ids, negative_prompt_ids)
+
+        embs = self.embed_cond_images(params, cond_images)
+        # CFG: duplicate cond embeddings for the uncond half too (reference
+        # pipeline prepare_image duplicates images under CFG, :352-377)
+        embs2 = [jnp.concatenate([e, e], axis=0) for e in embs]
+
+        plan = self.scheduler.plan(num_inference_steps)
+        if latents is None:
+            h = w = cfg.vae.sample_size // self.vae_downscale
+            latents = jax.random.normal(rng, (b, h, w, cfg.unet.in_channels), jnp.float32)
+
+        scales = conditioning_scale
+        if scales is None:
+            scales = [1.0] * cfg.num_branches
+
+        def model_fn(sample, t):
+            x2 = jnp.concatenate([sample, sample], axis=0)
+            t2 = jnp.broadcast_to(t, (2 * b,))
+            down, mid = self.mcn(
+                params["controlnet"], x2, t2, context, embs2, scales
+            )
+            noise = self.unet.apply(
+                {"params": params["unet"]},
+                x2, t2, context,
+                down_block_additional_residuals=down,
+                mid_block_additional_residual=mid,
+            )
+            uncond, cond = jnp.split(noise, 2, axis=0)
+            return uncond + guidance_scale * (cond - uncond)
+
+        final = self.scheduler.sample_loop(plan, model_fn, latents)
+        if return_latents:
+            return final
+        img = self.vae.apply(
+            {"params": params["vae"]}, final / cfg.vae.scaling_factor, method=self.vae.decode
+        )
+        return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+    @functools.partial(jax.jit, static_argnums=(0, 6), static_argnames=("return_latents",))
+    def _generate_jit(
+        self, params, prompt_ids, negative_prompt_ids, cond_images, rng,
+        num_inference_steps, guidance_scale, conditioning_scale, latents,
+        return_latents=False,
+    ):
+        return self._generate(
+            params, prompt_ids, negative_prompt_ids, cond_images, rng,
+            num_inference_steps, guidance_scale, conditioning_scale, latents,
+            return_latents,
+        )
+
+    def __call__(
+        self,
+        params,
+        prompt_ids: jax.Array,
+        negative_prompt_ids: jax.Array,
+        cond_images: Sequence[jax.Array],
+        rng: Optional[jax.Array] = None,
+        num_inference_steps: int = 20,
+        guidance_scale: float = 3.5,
+        conditioning_scale: Optional[Sequence[float]] = None,
+        latents: Optional[jax.Array] = None,
+        return_latents: bool = False,
+    ):
+        """Generate try-on images.
+
+        Defaults mirror the reference app (20 steps, guidance 3.5,
+        /root/reference/app.py:228-237)."""
+        if rng is None:
+            rng = jax.random.key(0)
+        if conditioning_scale is not None:
+            conditioning_scale = jnp.asarray(conditioning_scale, jnp.float32)
+        return self._generate_jit(
+            params, prompt_ids, negative_prompt_ids, tuple(cond_images), rng,
+            num_inference_steps, jnp.float32(guidance_scale), conditioning_scale,
+            latents, return_latents=return_latents,
+        )
+
+
+def _conv_in_apply(conv_params, x):
+    """Apply the UNet's conv_in params functionally (3x3, pad 1)."""
+    k = conv_params["kernel"]
+    out = jax.lax.conv_general_dilated(
+        x.astype(k.dtype), k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + conv_params["bias"]
