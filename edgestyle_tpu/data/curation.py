@@ -1,0 +1,180 @@
+"""Dataset curation tools — JAX equivalents of the reference's scripts:
+find_bad_examples.py (CLIP-IQA worst-image triage), find_similar_subjects.py
+(cross-subject CLIP similarity report), find_and_remove_missing_images.py
+(artifact-set integrity), merge_two_subjects.py, inspect_dataset.py
+(augmentation visual grids), compare_safetensors.py (checkpoint diff).
+
+CLIP-IQA here is the prompt-pair formulation (torchmetrics' CLIPIQA):
+score = softmax over CLIP similarities to ("good photo.", "bad photo.")
+style prompt pairs — computed with our own CLIP towers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# prompt pairs as in CLIP-IQA / the reference's find_bad_examples usage
+IQA_PROMPT_PAIRS: Tuple[Tuple[str, str], ...] = (
+    ("Good photo.", "Bad photo."),
+    ("Sharp photo.", "Blurry photo."),
+    ("Sharp edges.", "Blurry edges."),
+    ("High resolution photo.", "Low resolution photo."),
+    ("Noise-free photo.", "Photo with noise."),
+)
+
+
+class ClipIQA:
+    """score(images01) ∈ [0,1]^B — mean positive-prompt probability over
+    the prompt pairs."""
+
+    def __init__(self, tokenizer, encode_image_fn, encode_text_fn,
+                 prompt_pairs: Sequence[Tuple[str, str]] = IQA_PROMPT_PAIRS):
+        texts = [t for pair in prompt_pairs for t in pair]
+        ids = jnp.asarray(tokenizer(texts))
+        emb = encode_text_fn(ids)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        self.text_bank = emb.reshape(len(prompt_pairs), 2, -1)
+        self.encode_image = encode_image_fn
+
+    def __call__(self, images01: jax.Array) -> jax.Array:
+        img = self.encode_image(images01)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        logits = 100.0 * jnp.einsum("bd,ptd->bpt", img, self.text_bank)
+        probs = jax.nn.softmax(logits, axis=-1)[..., 0]  # P(positive)
+        return jnp.mean(probs, axis=-1)
+
+
+def find_bad_examples(
+    image_paths: Sequence[str], iqa: ClipIQA, load_fn: Callable, worst_k: int = 20,
+    batch_size: int = 16,
+) -> List[Tuple[str, float]]:
+    """Rank images by CLIP-IQA ascending (reference find_bad_examples.py)."""
+    scores = []
+    for i in range(0, len(image_paths), batch_size):
+        chunk = image_paths[i : i + batch_size]
+        imgs = jnp.stack([jnp.asarray(load_fn(p)) for p in chunk])
+        s = np.asarray(iqa(imgs))
+        scores.extend(zip(chunk, s.tolist()))
+    scores.sort(key=lambda t: t[1])
+    return scores[:worst_k]
+
+
+def find_similar_subjects(
+    subject_embeddings: Dict[str, np.ndarray], threshold: float = 0.92
+) -> List[Tuple[str, str, float]]:
+    """Pairs of subjects whose mean CLIP embeddings are suspiciously close
+    (reference find_similar_subjects.py:74-102)."""
+    names = sorted(subject_embeddings)
+    out = []
+    for i, a in enumerate(names):
+        ea = subject_embeddings[a] / np.linalg.norm(subject_embeddings[a])
+        for b in names[i + 1 :]:
+            eb = subject_embeddings[b] / np.linalg.norm(subject_embeddings[b])
+            sim = float(ea @ eb)
+            if sim >= threshold:
+                out.append((a, b, sim))
+    return sorted(out, key=lambda t: -t[2])
+
+
+ARTIFACTS = ("processed", "openpose", "subject", "agnostic", "head", "clothes")
+
+
+def find_missing_artifacts(root: str, artifacts: Sequence[str] = ARTIFACTS):
+    """Frames missing any artifact (reference
+    find_and_remove_missing_images.py:18-81). Returns
+    {(subject, frame): [missing artifacts]}."""
+    missing: Dict[Tuple[str, str], List[str]] = {}
+    for subject in sorted(os.listdir(root)):
+        sdir = os.path.join(root, subject)
+        if not os.path.isdir(sdir):
+            continue
+        frames = set()
+        for a in artifacts:
+            adir = os.path.join(sdir, a)
+            if os.path.isdir(adir):
+                frames |= {os.path.splitext(f)[0] for f in os.listdir(adir)}
+        for f in sorted(frames):
+            miss = [
+                a for a in artifacts
+                if not any(
+                    os.path.exists(os.path.join(sdir, a, f + ext))
+                    for ext in (".jpg", ".jpeg", ".png")
+                )
+            ]
+            if miss:
+                missing[(subject, f)] = miss
+    return missing
+
+
+def remove_incomplete_frames(root: str, artifacts: Sequence[str] = ARTIFACTS) -> int:
+    """Delete every artifact of frames flagged by find_missing_artifacts."""
+    removed = 0
+    for (subject, frame), _ in find_missing_artifacts(root, artifacts).items():
+        for a in artifacts:
+            for ext in (".jpg", ".jpeg", ".png"):
+                p = os.path.join(root, subject, a, frame + ext)
+                if os.path.exists(p):
+                    os.remove(p)
+                    removed += 1
+    return removed
+
+
+def merge_subjects(root: str, src: str, dst: str, skip_marker: str = "_skip_") -> None:
+    """Move src subject's frames into dst with a prefix, then mark src
+    skipped (reference merge_two_subjects.py:72-88)."""
+    sdir, ddir = os.path.join(root, src), os.path.join(root, dst)
+    for a in os.listdir(sdir):
+        adir = os.path.join(sdir, a)
+        if not os.path.isdir(adir):
+            continue
+        tdir = os.path.join(ddir, a)
+        os.makedirs(tdir, exist_ok=True)
+        for f in os.listdir(adir):
+            shutil.copy2(os.path.join(adir, f), os.path.join(tdir, f"{src}_{f}"))
+    open(os.path.join(sdir, skip_marker), "w").close()
+
+
+def compare_param_trees(a, b, rtol: float = 0.0, atol: float = 0.0):
+    """Per-leaf diff report of two checkpoints (reference
+    compare_safetensors.py:63-89). Returns list of (path, max_abs_diff)."""
+    from edgestyle_tpu.core.porting import flatten
+
+    fa, fb = flatten(a), flatten(b)
+    report = []
+    for k in sorted(set(fa) | set(fb)):
+        if k not in fa or k not in fb:
+            report.append((k, float("inf")))
+            continue
+        va, vb = np.asarray(fa[k]), np.asarray(fb[k])
+        if va.shape != vb.shape:
+            report.append((k, float("inf")))
+            continue
+        diff = float(np.max(np.abs(va - vb))) if va.size else 0.0
+        if not np.allclose(va, vb, rtol=rtol, atol=atol):
+            report.append((k, diff))
+    return report
+
+
+def inspect_dataset_grid(examples, collate_fn, rng, out_path: str):
+    """Render a collated, augmented batch to a JPEG contact sheet
+    (reference inspect_dataset.py:174-219)."""
+    from PIL import Image
+
+    batch = collate_fn(examples, rng)
+    rows = []
+    for key in ("original", "agnostic", "clothes", "clothes2",
+                "original_openpose", "clothes_openpose"):
+        arr = batch[key]
+        if arr.min() < 0:
+            arr = arr / 2 + 0.5
+        rows.append(np.concatenate(list(arr), axis=1))
+    grid = (np.concatenate(rows, axis=0).clip(0, 1) * 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    Image.fromarray(grid).save(out_path)
+    return out_path

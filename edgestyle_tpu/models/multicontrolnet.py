@@ -241,4 +241,4 @@ class EdgeStyleMultiControlNet:
                 [jnp.zeros((batch, s[0], s[1], c)) for s, c in zip(sizes, down_ch)]
             )
             mids.append(jnp.zeros((batch, cur[0], cur[1], chs[-1])))
-        return self.fusion.init(rng, downs, mids)["params"]
+        return jax.jit(self.fusion.init)(rng, downs, mids)["params"]

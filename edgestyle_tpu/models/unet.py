@@ -436,3 +436,83 @@ def controllora_params(
     merged = merge_lora(trunk, lora_params, lora_scale) if lora_params else dict(trunk)
     merged.update(head_params)
     return merged
+
+
+# --------------------------------------------------------------------------
+# Weight porting: diffusers UNet2DConditionModel / ControlNetModel
+# state dicts → SD15UNet params (SURVEY.md §2.6 checkpoints:
+# SG161222/Realistic_Vision_V5.1_noVAE UNet, lllyasviel openpose ControlNet).
+# --------------------------------------------------------------------------
+
+def _map_transformer(m, tp: str, fp: str):
+    m.norm(tp + r"\.norm", fp + ".norm")
+    m.conv(tp + r"\.proj_in", fp + ".proj_in")
+    m.conv(tp + r"\.proj_out", fp + ".proj_out")
+    for b in range(4):  # depth 1 for SD1.5; extra rules simply never fire
+        bp = tp + rf"\.transformer_blocks\.{b}"
+        fq = fp + f".blocks_{b}"
+        for norm in ("norm1", "norm2", "norm3"):
+            m.norm(bp + rf"\.{norm}", fq + f".{norm}")
+        for attn in ("attn1", "attn2"):
+            for proj in ("to_q", "to_k", "to_v"):
+                m.linear(bp + rf"\.{attn}\.{proj}", fq + f".{attn}.{proj}")
+            m.linear(bp + rf"\.{attn}\.to_out\.0", fq + f".{attn}.to_out")
+        m.linear(bp + r"\.ff\.net\.0\.proj", fq + ".ff.proj_in")
+        m.linear(bp + r"\.ff\.net\.2", fq + ".ff.proj_out")
+
+
+def _map_unet_resnet(m, tp: str, fp: str):
+    m.norm(tp + r"\.norm1", fp + ".norm1")
+    m.norm(tp + r"\.norm2", fp + ".norm2")
+    m.conv(tp + r"\.conv1", fp + ".conv1")
+    m.conv(tp + r"\.conv2", fp + ".conv2")
+    m.conv(tp + r"\.conv_shortcut", fp + ".conv_shortcut")
+    m.linear(tp + r"\.time_emb_proj", fp + ".time_emb_proj")
+
+
+def _unet_common_mapper(m):
+    m.conv(r"conv_in", "conv_in")
+    m.linear(r"time_embedding\.linear_1", "time_embedding.linear_1")
+    m.linear(r"time_embedding\.linear_2", "time_embedding.linear_2")
+    for i in range(4):
+        for j in range(3):
+            _map_unet_resnet(m, rf"down_blocks\.{i}\.resnets\.{j}", f"down_blocks_{i}.resnets_{j}")
+            _map_transformer(m, rf"down_blocks\.{i}\.attentions\.{j}", f"down_blocks_{i}.attentions_{j}")
+        m.conv(rf"down_blocks\.{i}\.downsamplers\.0\.conv", f"down_blocks_{i}.downsamplers_0.conv")
+    _map_unet_resnet(m, r"mid_block\.resnets\.0", "mid_block.resnets_0")
+    _map_unet_resnet(m, r"mid_block\.resnets\.1", "mid_block.resnets_1")
+    _map_transformer(m, r"mid_block\.attentions\.0", "mid_block.attentions_0")
+    return m
+
+
+def port_unet_state_dict(sd):
+    """diffusers UNet2DConditionModel → flat {path: array}."""
+    from edgestyle_tpu.core.porting import KeyMapper
+
+    m = _unet_common_mapper(KeyMapper())
+    for i in range(4):
+        for j in range(3):
+            _map_unet_resnet(m, rf"up_blocks\.{i}\.resnets\.{j}", f"up_blocks_{i}.resnets_{j}")
+            _map_transformer(m, rf"up_blocks\.{i}\.attentions\.{j}", f"up_blocks_{i}.attentions_{j}")
+        m.conv(rf"up_blocks\.{i}\.upsamplers\.0\.conv", f"up_blocks_{i}.upsamplers_0.conv")
+    m.norm(r"conv_norm_out", "conv_norm_out")
+    m.conv(r"conv_out", "conv_out")
+    return m.apply(sd)
+
+
+def port_controlnet_state_dict(sd):
+    """diffusers ControlNetModel → flat {path: array} for controlnet_mode."""
+    from edgestyle_tpu.core.porting import KeyMapper
+
+    m = _unet_common_mapper(KeyMapper())
+    m.conv(r"controlnet_cond_embedding\.conv_in", "controlnet_cond_embedding.conv_in")
+    for k in range(6):
+        m.conv(
+            rf"controlnet_cond_embedding\.blocks\.{k}",
+            f"controlnet_cond_embedding.blocks_{k}",
+        )
+    m.conv(r"controlnet_cond_embedding\.conv_out", "controlnet_cond_embedding.conv_out")
+    for k in range(12):
+        m.conv(rf"controlnet_down_blocks\.{k}", f"controlnet_down_blocks_{k}")
+    m.conv(r"controlnet_mid_block", "controlnet_mid_block")
+    return m.apply(sd)

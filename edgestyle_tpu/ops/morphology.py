@@ -1,0 +1,126 @@
+"""Binary-mask morphology as XLA-friendly fixed-iteration ops.
+
+The reference's mask post-processing (/root/reference/extract_dataset.py:
+298-511 and inference.py:322-447) uses cv2/skimage on the host: dilate/
+erode smoothing (`smooth_mask` :338-352), `closing(square(3))`, connected-
+component labeling + keep-largest (:435-448), bounding boxes with 20px
+margin (`getBox` :298-313), and gray-background compositing. Here each
+becomes a tensor op that fuses into the same XLA program as the SAM
+forward:
+
+  * dilate/erode        — max/min pool with NxN window
+  * open/close/smooth   — compositions thereof
+  * largest component   — iterative 3x3 max-propagation of per-pixel seed
+                          ids (flood fill with a fixed iteration budget),
+                          then argmax over component areas via one segment
+                          sum on the id histogram
+  * bounding box        — masked min/max over coordinate grids
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _pool(x: jax.Array, k: int, mode: str) -> jax.Array:
+    """x: (..., H, W) bool/float; NxN max or min pool, stride 1."""
+    pad = k // 2
+    init = -jnp.inf if mode == "max" else jnp.inf
+    op = jax.lax.max if mode == "max" else jax.lax.min
+    xf = x.astype(jnp.float32)
+    nd = xf.ndim
+    window = (1,) * (nd - 2) + (k, k)
+    strides = (1,) * nd
+    padding = ((0, 0),) * (nd - 2) + ((pad, pad), (pad, pad))
+    return jax.lax.reduce_window(xf, init, op, window, strides, padding)
+
+
+def dilate(mask: jax.Array, k: int = 3, iterations: int = 1) -> jax.Array:
+    m = mask.astype(jnp.float32)
+    for _ in range(iterations):
+        m = _pool(m, k, "max")
+    return m > 0.5
+
+
+def erode(mask: jax.Array, k: int = 3, iterations: int = 1) -> jax.Array:
+    m = mask.astype(jnp.float32)
+    for _ in range(iterations):
+        m = _pool(m, k, "min")
+    return m > 0.5
+
+
+def closing(mask: jax.Array, k: int = 3, iterations: int = 1) -> jax.Array:
+    return erode(dilate(mask, k, iterations), k, iterations)
+
+
+def opening(mask: jax.Array, k: int = 3, iterations: int = 1) -> jax.Array:
+    return dilate(erode(mask, k, iterations), k, iterations)
+
+
+def smooth_mask(mask: jax.Array, k: int = 3, iterations: int = 3) -> jax.Array:
+    """closing then opening (reference smooth_mask, extract_dataset.py:338-352)."""
+    return opening(closing(mask, k, iterations), k, iterations)
+
+
+def largest_component(mask: jax.Array, max_iters: int = None) -> jax.Array:
+    """Keep only the largest 4-connected component.
+
+    mask: (H, W) bool. Flood-fills per-pixel unique ids with 3x3(+)-max
+    propagation for a fixed iteration budget (default: H+W, enough for any
+    snake-shaped region across the frame), then keeps the id with the
+    largest area. Replaces skimage label+regionprops (reference :435-448).
+    """
+    h, w = mask.shape
+    if max_iters is None:
+        max_iters = h + w
+    ids = (jnp.arange(h * w, dtype=jnp.float32).reshape(h, w) + 1.0) * mask
+
+    def body(_, cur):
+        # 4-neighbour propagation via plus-shaped max
+        up = jnp.pad(cur, ((1, 0), (0, 0)))[:-1]
+        dn = jnp.pad(cur, ((0, 1), (0, 0)))[1:]
+        lf = jnp.pad(cur, ((0, 0), (1, 0)))[:, :-1]
+        rt = jnp.pad(cur, ((0, 0), (0, 1)))[:, 1:]
+        prop = jnp.maximum(jnp.maximum(up, dn), jnp.maximum(lf, rt))
+        return jnp.where(mask, jnp.maximum(cur, prop), 0.0)
+
+    labels = jax.lax.fori_loop(0, max_iters, body, ids)
+    li = labels.astype(jnp.int32).reshape(-1)
+    areas = jnp.zeros(h * w + 1, jnp.int32).at[li].add(1)
+    areas = areas.at[0].set(0)  # background
+    best = jnp.argmax(areas)
+    return (labels == best.astype(jnp.float32)) & mask & (best > 0)
+
+
+def mask_bbox(mask: jax.Array, margin: int = 20) -> jax.Array:
+    """(H, W) bool → [x_min, y_min, x_max, y_max] with ±margin clamp
+    (reference getBox, extract_dataset.py:298-313). Empty mask → zeros."""
+    h, w = mask.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    big = jnp.int32(1 << 30)
+    x_min = jnp.min(jnp.where(mask, xs, big))
+    y_min = jnp.min(jnp.where(mask, ys, big))
+    x_max = jnp.max(jnp.where(mask, xs, -1))
+    y_max = jnp.max(jnp.where(mask, ys, -1))
+    any_ = jnp.any(mask)
+    box = jnp.stack(
+        [
+            jnp.maximum(0, x_min - margin),
+            jnp.maximum(0, y_min - margin),
+            jnp.minimum(w, x_max + margin),
+            jnp.minimum(h, y_max + margin),
+        ]
+    )
+    return jnp.where(any_, box, jnp.zeros(4, box.dtype))
+
+
+def composite_gray(image: jax.Array, mask: jax.Array, bg=(127.0, 127.0, 127.0)) -> jax.Array:
+    """Keep `image` where mask, gray background elsewhere. image (H,W,3)
+    float [0,1] or uint8-scaled; bg given in 0-255."""
+    bgc = jnp.asarray(bg, image.dtype) / (255.0 if image.dtype != jnp.uint8 else 1.0)
+    return jnp.where(mask[..., None], image, bgc)

@@ -83,9 +83,11 @@ class EdgeStylePipeline:
         ids = jnp.zeros((1, cfg.clip.max_positions), jnp.int32)
         emb = jnp.zeros((1, lat_hw, lat_hw, cfg.unet.block_out_channels[0]))
 
-        vae_p = self.vae.init(k[0], img)["params"]
-        clip_p = self.clip.init(k[1], ids)["params"]
-        unet_p = self.unet.init(k[2], lat, t, ctx)["params"]
+        # jit every init: eager init dispatches one RPC per op on tunneled
+        # TPU backends and takes minutes at full size
+        vae_p = jax.jit(self.vae.init)(k[0], img)["params"]
+        clip_p = jax.jit(self.clip.init)(k[1], ids)["params"]
+        unet_p = jax.jit(self.unet.init)(k[2], lat, t, ctx)["params"]
 
         from edgestyle_tpu.models.unet import (
             controllora_params,
@@ -94,12 +96,18 @@ class EdgeStylePipeline:
         )
 
         cn = self.mcn.branch
-        static_p = cn.init(k[3], lat, t, ctx, emb, method="controlnet_forward")["params"]
-        static_p = {**static_p, **cn.init(k[4], img, method="embed_cond")["params"]}
+        static_p = jax.jit(
+            lambda r: cn.init(r, lat, t, ctx, emb, method="controlnet_forward")
+        )(k[3])["params"]
+        static_p = {
+            **static_p,
+            **jax.jit(lambda r: cn.init(r, img, method="embed_cond"))(k[4])["params"],
+        }
         heads = {kk: v for kk, v in static_p.items() if kk.startswith("controlnet_")}
         trunk = split_trunk_params(unet_p)
-        lora0 = init_lora_params(k[5], trunk, rank=32)
-        lora1 = init_lora_params(k[6], trunk, rank=32)
+        lora_init = jax.jit(lambda r: init_lora_params(r, trunk, rank=32))
+        lora0 = lora_init(k[5])
+        lora1 = lora_init(k[6])
         fusion = self.mcn.init_fusion(k[7], sample_hw=(lat_hw, lat_hw))
         return {
             "vae": vae_p,

@@ -1,0 +1,75 @@
+"""Validation-by-generation (reference log_validation,
+/root/reference/train_text2image_pretrained_openpose.py:66-219): every N
+steps, run the full try-on pipeline with the current trainable weights at
+several guidance scales and log ground truth + conditioning + generations
+as an image grid to TensorBoard."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VALIDATION_GUIDANCE_SCALES = (1.0, 2.0, 3.0, 5.0)  # reference grid :195-215 sweeps 4
+
+
+def assemble_inference_params(frozen: Dict, trainable: Dict) -> Dict:
+    """frozen {vae, clip, unet, static} + trainable {lora_*, heads_*,
+    fusion} → pipeline params dict (merging LoRA into tied trunks)."""
+    from edgestyle_tpu.models.unet import controllora_params
+
+    return {
+        "vae": frozen["vae"],
+        "clip": frozen["clip"],
+        "unet": frozen["unet"],
+        "controlnet": {
+            "static": frozen["static"],
+            "lora_0": controllora_params(frozen["unet"], trainable["lora_0"], trainable["heads_0"]),
+            "lora_1": controllora_params(frozen["unet"], trainable["lora_1"], trainable["heads_1"]),
+            "fusion": trainable["fusion"],
+        },
+    }
+
+
+def log_validation(
+    pipe,
+    frozen: Dict,
+    trainable: Dict,
+    batch: Dict[str, np.ndarray],
+    step: int,
+    writer=None,
+    guidance_scales: Sequence[float] = VALIDATION_GUIDANCE_SCALES,
+    num_inference_steps: int = 20,
+    rng: Optional[jax.Array] = None,
+):
+    """batch: one collated validation batch (micro-batch shapes, no accum
+    axis). Returns the grid (H, W_total, 3) float32 [0,1]."""
+    params = assemble_inference_params(frozen, trainable)
+    rng = rng if rng is not None else jax.random.key(0)
+    cond = [
+        jnp.asarray(batch["agnostic"]),
+        jnp.asarray(batch["original_openpose"]),
+        jnp.asarray(batch["clothes"]),
+        jnp.asarray(batch["clothes_openpose"]),
+        jnp.asarray(batch["clothes2"]),
+        jnp.asarray(batch["clothes_openpose2"]),
+    ]
+    ids = jnp.asarray(batch["input_ids"])
+    neg = jnp.zeros_like(ids)
+
+    rows = [np.asarray(batch["original"] / 2 + 0.5).clip(0, 1)]
+    rows += [np.asarray(batch["agnostic"] / 2 + 0.5).clip(0, 1),
+             np.asarray(batch["original_openpose"]).clip(0, 1)]
+    for g in guidance_scales:
+        out = pipe(
+            params, ids, neg, cond, rng=rng,
+            num_inference_steps=num_inference_steps, guidance_scale=g,
+        )
+        rows.append(np.asarray(out))
+
+    grid = np.concatenate([np.concatenate(list(r), axis=1) for r in rows], axis=0)
+    if writer is not None:
+        writer.add_image("validation", grid, step, dataformats="HWC")
+    return grid

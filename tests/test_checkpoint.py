@@ -1,0 +1,61 @@
+"""Checkpoint semantics: save/restore round-trip, latest-resume, rotation,
+safetensors export/import."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgestyle_tpu.training.checkpoint import (
+    export_safetensors,
+    import_safetensors,
+    list_checkpoints,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def _state(step, seed=0):
+    g = np.random.default_rng(seed)
+    return {
+        "trainable": {
+            "lora_0": {"a": {"down": g.standard_normal((4, 2)).astype(np.float32)}},
+            "fusion": {"w": g.standard_normal((3,)).astype(np.float32)},
+        },
+        "opt_state": {"m": g.standard_normal((3,)).astype(np.float32)},
+        "step": jnp.asarray(step, jnp.int32),
+    }
+
+
+def test_save_load_roundtrip(tmp_path):
+    root = str(tmp_path / "ckpts")
+    s = _state(5)
+    save_checkpoint(root, s)
+    restored = load_checkpoint(root, _state(0, seed=9), step=5)
+    np.testing.assert_array_equal(
+        restored["trainable"]["fusion"]["w"], s["trainable"]["fusion"]["w"]
+    )
+    assert int(restored["step"]) == 5
+
+
+def test_latest_and_rotation(tmp_path):
+    root = str(tmp_path / "ckpts")
+    for step in (1, 2, 3, 4):
+        save_checkpoint(root, _state(step, seed=step), total_limit=2)
+    assert list_checkpoints(root) == [3, 4]
+    restored = load_checkpoint(root, _state(0, seed=9), step="latest")
+    assert int(restored["step"]) == 4
+
+
+def test_load_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_checkpoint(str(tmp_path / "nope"), _state(0), step="latest")
+
+
+def test_safetensors_export_import(tmp_path):
+    s = _state(1)
+    p = str(tmp_path / "model.safetensors")
+    export_safetensors(p, s["trainable"])
+    back = import_safetensors(p)
+    np.testing.assert_array_equal(
+        back["lora_0"]["a"]["down"], s["trainable"]["lora_0"]["a"]["down"]
+    )

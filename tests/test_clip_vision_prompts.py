@@ -1,0 +1,121 @@
+"""CLIP vision parity vs transformers (random init), tokenizer behaviour,
+and prompt mining with stub encoders."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+from transformers import CLIPVisionConfig as HFVisionConfig
+from transformers import CLIPVisionModel
+
+from edgestyle_tpu.core import porting
+from edgestyle_tpu.data.prompts import BestEmbeddings, TRIGGER_WORD, clip_similarity
+from edgestyle_tpu.data.tokenizer import CLIPTokenizer, make_tiny_tokenizer
+from edgestyle_tpu.models.clip_vision import (
+    CLIPVisionConfig,
+    CLIPVisionEncoder,
+    clip_preprocess,
+    port_clip_vision_state_dict,
+)
+
+
+def test_clip_vision_parity_with_transformers(rng):
+    hf_cfg = HFVisionConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=3,
+        num_attention_heads=4, image_size=28, patch_size=14, hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    tmod = CLIPVisionModel(hf_cfg).eval()
+    x = rng.standard_normal((2, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(x))
+
+    cfg = CLIPVisionConfig(
+        hidden_size=64, num_layers=3, num_heads=4, patch_size=14,
+        image_size=28, intermediate_size=128,
+    )
+    mod = CLIPVisionEncoder(cfg)
+    sd = porting.load_torch_state_dict(tmod)
+    params = porting.unflatten(port_clip_vision_state_dict(sd, num_layers=3))["vision_model"]
+    out = jax.jit(mod.apply)(
+        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"]), ref.last_hidden_state.numpy(), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pooled_output"]), ref.pooler_output.numpy(), atol=3e-5
+    )
+
+
+def test_tokenizer_bpe_and_padding():
+    tok = make_tiny_tokenizer()
+    ids = tok(["abc", "a"])
+    assert ids.shape == (2, 16)
+    assert ids[0, 0] == tok.bos
+    # char-level vocab → 'abc' = 2 chars + final with </w>? our tiny vocab has
+    # only single-char</w> entries, so bpe splits into per-byte tokens
+    assert (ids[:, -1] == tok.eos).all()
+    assert ids[1, 2] == tok.eos  # a → bos, a</w>, eos
+    # argmax pooling convention: eos is the max id in the vocab
+    assert tok.eos == max(tok.encoder.values())
+
+
+def test_tokenizer_with_real_style_merges():
+    # mini BPE: merge l+o, lo+w
+    byte_vocab = {c: i for i, c in enumerate(sorted(set(
+        __import__("edgestyle_tpu.data.tokenizer", fromlist=["x"])._bytes_to_unicode().values()
+    )))}
+    vocab = dict(byte_vocab)
+    for extra in ["lo", "low</w>", "w</w>", "er</w>", "low"]:
+        vocab.setdefault(extra, len(vocab))
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    tok = CLIPTokenizer(vocab, ["l o", "lo w</w>", "lo w", "e r</w>"], max_length=8)
+    ids = tok.encode("low lower")
+    toks = [tok.decoder[i] for i in ids]
+    assert toks[0] == "low</w>"
+    assert toks[1] == "low"
+    assert toks[2] == "er</w>"
+    assert tok.decode(tok(["low lower"])[0]) == "low lower"
+
+
+def test_best_embeddings_with_stub_encoders():
+    d = 8
+    # stub: image maps to a fixed vector; text bank rows are one-hot-ish
+    def enc_img(px):
+        v = jnp.zeros((px.shape[0], d)).at[:, 0].set(1.0).at[:, 1].set(0.5)
+        return v
+
+    calls = {}
+
+    def enc_txt(ids):
+        n = ids.shape[0]
+        key = calls.setdefault("n", [])
+        key.append(n)
+        # phrase i → basis vector i mod d
+        return jax.nn.one_hot(jnp.arange(n) % d, d)
+
+    tok = make_tiny_tokenizer()
+    be = BestEmbeddings(
+        tok, enc_img, enc_txt,
+        colors=[f"c{i}" for i in range(6)], items=[f"i{i}" for i in range(5)],
+    )
+    prompts = be.find_best(jnp.zeros((2, 4, 4, 3)))
+    assert len(prompts) == 2
+    assert prompts[0].startswith(TRIGGER_WORD + ", ")
+    # image ~ e0 + 0.5 e1 → top colors are c0 then c1
+    assert prompts[0] == f"{TRIGGER_WORD}, c0, c1, i0, i1"
+
+
+def test_clip_similarity_range():
+    enc = lambda x: x.reshape(x.shape[0], -1)
+    a = jnp.ones((2, 2, 2, 1))
+    b = jnp.concatenate([jnp.ones((1, 2, 2, 1)), -jnp.ones((1, 2, 2, 1))])
+    sims = clip_similarity(enc, a, b)
+    np.testing.assert_allclose(np.asarray(sims), [1.0, -1.0], atol=1e-6)
+
+
+def test_clip_preprocess_shape():
+    out = clip_preprocess(jnp.zeros((2, 512, 512, 3)))
+    assert out.shape == (2, 224, 224, 3)

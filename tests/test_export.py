@@ -1,0 +1,43 @@
+"""Export subsystem: serialize → reload → parity (the reference's export
+invariant), on a small UNet program."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgestyle_tpu.core.export import export_program, flop_report, load_program
+from edgestyle_tpu.models.unet import SD15UNet
+from tests.test_unet import TINY
+
+
+def test_export_roundtrip_parity(tmp_path, rng):
+    unet = SD15UNet(TINY, attn_impl="xla")
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    t = jnp.array([5], jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((1, 7, 24)), jnp.float32)
+    params = unet.init(jax.random.key(0), x, t, ctx)
+
+    fn = lambda p, x, t, c: unet.apply(p, x, t, c)
+    path = export_program(fn, (params, x, t, ctx), str(tmp_path / "unet.stablehlo"))
+
+    prog = load_program(path)
+    out = prog.call(params, x, t, ctx)
+    ref = fn(params, x, t, ctx)
+    # two independent XLA compiles differ at ~1e-6 (fusion order); the
+    # reference's own export tolerance is rtol 1e-3 / atol 1e-5
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_load_corrupt_blob_raises(tmp_path):
+    p = tmp_path / "bad.stablehlo"
+    p.write_bytes(b"not a serialized program")
+    with pytest.raises(Exception):
+        load_program(str(p))
+
+
+def test_flop_report(rng):
+    f = lambda a, b: a @ b
+    a = jnp.ones((64, 64))
+    rep = flop_report(f, a, a)
+    assert rep["flops"] > 0

@@ -1,0 +1,64 @@
+"""Flash-attention kernel correctness vs the XLA reference, in interpret
+mode on CPU (real-TPU timing is covered by bench/profiling)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import edgestyle_tpu.ops.flash as flash_mod
+from edgestyle_tpu.ops.attention import _xla_attention
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    # run pallas_call in interpreter mode on CPU
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+    yield
+
+
+@pytest.mark.parametrize("n,d,h", [(512, 40, 2), (1024, 80, 1), (512, 64, 2)])
+def test_flash_matches_xla(rng, n, d, h):
+    b = 2
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    scale = 1.0 / d**0.5
+    ref = _xla_attention(q, k, v, scale)
+    out = flash_mod._flash_forward(q, k, v, scale, block_q=128, block_k=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_bf16_io(rng):
+    b, h, n, d = 1, 2, 256, 40
+    mk = lambda: jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    out = flash_mod._flash_forward(q, k, v, 0.158, block_q=128, block_k=128)
+    assert out.dtype == jnp.bfloat16
+    ref = _xla_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32), 0.158)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=0.04
+    )
+
+
+def test_flash_grad_matches_xla(rng):
+    b, h, n, d = 1, 1, 256, 32
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    scale = 1.0 / d**0.5
+
+    f_flash = lambda q, k, v: jnp.sum(flash_mod.flash_attention(q, k, v, scale) ** 2)
+    f_ref = lambda q, k, v: jnp.sum(_xla_attention(q, k, v, scale) ** 2)
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)

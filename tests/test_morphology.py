@@ -1,0 +1,82 @@
+"""Morphology op tests vs cv2 ground truth (cv2 is the reference's own
+implementation substrate, so this is true behavioural parity)."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgestyle_tpu.ops.morphology import (
+    closing,
+    composite_gray,
+    dilate,
+    erode,
+    largest_component,
+    mask_bbox,
+    smooth_mask,
+)
+
+
+def _rand_mask(rng, h=64, w=64, p=0.3):
+    return (rng.random((h, w)) < p)
+
+
+def test_dilate_erode_match_cv2(rng):
+    m = _rand_mask(rng)
+    kernel = np.ones((3, 3), np.uint8)
+    ref_d = cv2.dilate(m.astype(np.uint8) * 255, kernel, iterations=2) > 0
+    ref_e = cv2.erode(m.astype(np.uint8) * 255, kernel, iterations=2) > 0
+    np.testing.assert_array_equal(np.asarray(dilate(jnp.asarray(m), 3, 2)), ref_d)
+    np.testing.assert_array_equal(np.asarray(erode(jnp.asarray(m), 3, 2)), ref_e)
+
+
+def test_smooth_mask_matches_reference_impl(rng):
+    m = _rand_mask(rng, p=0.45)
+    kernel = np.ones((3, 3), np.uint8)
+    closed = cv2.dilate(m.astype(np.uint8) * 255, kernel, iterations=3)
+    closed = cv2.erode(closed, kernel, iterations=3)
+    opened = cv2.erode(closed, kernel, iterations=3)
+    ref = cv2.dilate(opened, kernel, iterations=3) > 0
+    ours = np.asarray(smooth_mask(jnp.asarray(m), 3, 3))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_largest_component(rng):
+    m = np.zeros((48, 48), bool)
+    m[2:10, 2:10] = True          # area 64
+    m[20:40, 20:40] = True        # area 400 (largest)
+    m[44:46, 2:4] = True          # area 4
+    out = np.asarray(largest_component(jnp.asarray(m)))
+    expect = np.zeros_like(m)
+    expect[20:40, 20:40] = True
+    np.testing.assert_array_equal(out, expect)
+
+    # snake-shaped region connectivity
+    snake = np.zeros((32, 32), bool)
+    snake[0, :] = True
+    snake[:, -1] = True
+    snake[-1, :] = True
+    blob = np.zeros_like(snake)
+    blob[10:14, 2:6] = True  # area 16 < snake
+    out2 = np.asarray(largest_component(jnp.asarray(snake | blob)))
+    np.testing.assert_array_equal(out2, snake)
+
+    # empty mask → empty
+    assert not np.asarray(largest_component(jnp.zeros((8, 8), bool))).any()
+
+
+def test_mask_bbox():
+    m = np.zeros((100, 120), bool)
+    m[30:50, 40:70] = True
+    box = np.asarray(mask_bbox(jnp.asarray(m), margin=20))
+    # x∈[40,69], y∈[30,49] → [40-20, 30-20, 69+20, 49+20]
+    np.testing.assert_array_equal(box, [20, 10, 89, 69])
+    assert (np.asarray(mask_bbox(jnp.zeros((10, 10), bool))) == 0).all()
+
+
+def test_composite_gray():
+    img = jnp.ones((4, 4, 3)) * 0.8
+    m = jnp.zeros((4, 4), bool).at[0, 0].set(True)
+    out = np.asarray(composite_gray(img, m))
+    np.testing.assert_allclose(out[0, 0], [0.8] * 3)
+    np.testing.assert_allclose(out[1, 1], [127 / 255] * 3, rtol=1e-6)
