@@ -1,0 +1,232 @@
+"""End-to-end try-on: raw photos → conditioning images → generation.
+
+The TPU equivalent of the reference Gradio app's two callbacks
+(/root/reference/app.py:125-256 preprocess + try_on) and of inference.py's
+extract_images → pipeline flow: OpenPose keypoints → skeleton render →
+SAM masks (one shared encoder pass, four decode heads) → gray composites →
+6-branch generation. Runs as three jitted programs (pose, masks, generate).
+
+Usage:
+  python -m edgestyle_tpu.apps.tryon \
+      --subject person.jpg --clothes1 donor1.jpg --clothes2 donor2.jpg \
+      [model dirs / --random_init] --out result.png
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="EdgeStyle-TPU end-to-end try-on")
+    p.add_argument("--subject", type=str, required=True)
+    p.add_argument("--clothes1", type=str, required=True)
+    p.add_argument("--clothes2", type=str, required=True)
+    p.add_argument("--pretrained_model", type=str, default=None)
+    p.add_argument("--vae", type=str, default=None)
+    p.add_argument("--openpose_controlnet", type=str, default=None)
+    p.add_argument("--edgestyle_checkpoint", type=str, default=None)
+    p.add_argument("--sam_checkpoint", type=str, default=None)
+    p.add_argument("--bodypose_checkpoint", type=str, default=None)
+    p.add_argument("--tokenizer_dir", type=str, default=None)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--prompt", type=str, default=None,
+                   help="default: mined from the clothes image when CLIP vision weights are available")
+    p.add_argument("--negative_prompt", type=str,
+                   default="monochrome, lowres, bad anatomy, worst quality, low quality")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--guidance", type=float, default=3.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="result.png")
+    return p.parse_args(argv)
+
+
+def load_image_512(path: str) -> np.ndarray:
+    """Load → pad-to-square → 512, mirroring resize_image_by_padding
+    (reference inference.py:450-459)."""
+    from PIL import Image
+
+    from edgestyle_tpu.data.transforms import resize_nearest
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"))
+    h, w = arr.shape[:2]
+    side = max(h, w)
+    canvas = np.full((side, side, 3), 255, np.uint8)
+    top, left = (side - h) // 2, (side - w) // 2
+    canvas[top : top + h, left : left + w] = arr
+    return resize_nearest(canvas, (512, 512))
+
+
+class TryOnSystem:
+    """Bundles pose, segmentation and generation; params are random-init
+    or ported checkpoints."""
+
+    def __init__(self, rng=None, random_init=True, args=None):
+        import jax
+        import jax.numpy as jnp
+
+        from edgestyle_tpu.models.openpose import BodyPoseNet
+        from edgestyle_tpu.pipelines.preprocess import TryOnPreprocessor
+        from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+
+        self.jax, self.jnp = jax, jnp
+        rng = rng if rng is not None else jax.random.key(0)
+        k = jax.random.split(rng, 3)
+
+        self.pose_net = BodyPoseNet()
+        self.preproc = TryOnPreprocessor(dtype=jnp.bfloat16)
+        self.pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"))
+
+        if random_init:
+            x = jnp.zeros((1, 184, 184, 3))
+            self.pose_params = jax.jit(self.pose_net.init)(k[0], x)["params"]
+            self.sam_params = self.preproc.init_params(k[1])
+            self.gen_params = self.pipe.init_params(k[2])
+        else:
+            from edgestyle_tpu.core import porting
+            from edgestyle_tpu.core.pretrained import load_pipeline_params
+            from edgestyle_tpu.models.openpose import port_bodypose_state_dict
+
+            sd = porting.load_safetensors(args.bodypose_checkpoint)
+            self.pose_params = porting.unflatten(port_bodypose_state_dict(sd))
+            self.sam_params = _load_sam_params(self.preproc, args.sam_checkpoint)
+            self.gen_params = load_pipeline_params(
+                args.pretrained_model, args.vae, args.openpose_controlnet,
+                edgestyle_checkpoint=args.edgestyle_checkpoint,
+            )
+        self.gen_params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if getattr(p, "dtype", None) == jnp.float32 else p,
+            self.gen_params,
+        )
+
+    # -------------------------------------------------------------- pose
+    def detect_pose(self, img01: np.ndarray) -> Tuple[Optional[np.ndarray], np.ndarray]:
+        """(512,512,3) [0,1] → (keypoints (18,2) px or None, skeleton image)."""
+        jax, jnp = self.jax, self.jnp
+        from edgestyle_tpu.models.openpose import (
+            assemble_people_host,
+            filter_and_pick_largest,
+            find_peaks,
+            preprocess_for_openpose,
+            render_pose,
+            score_limb_candidates,
+            smooth_heatmaps,
+        )
+
+        x = preprocess_for_openpose(jnp.asarray(img01)[None])
+
+        @jax.jit
+        def run(params, x):
+            paf, heat = self.pose_net.apply({"params": params}, x)
+            hm_h = x.shape[1] // 8
+            heat_s = smooth_heatmaps(heat, 3.0)
+            peaks = find_peaks(heat_s)
+            scores, ok = score_limb_candidates(paf, peaks)
+            return peaks, scores, ok
+
+        peaks, scores, ok = run(self.pose_params, x)
+        people = assemble_people_host(peaks, np.asarray(scores), np.asarray(ok))
+        person = filter_and_pick_largest(people)
+        if person is None:
+            return None, np.zeros((512, 512, 3), np.float32)
+        hm = x.shape[1] // 8
+        kp01 = person["keypoints"] / hm
+        skel = np.asarray(render_pose(jnp.asarray(kp01), (512, 512)))
+        return person["keypoints"] * (512.0 / hm), skel
+
+    # -------------------------------------------------------------- masks
+    def extract(self, img01: np.ndarray, keypoints_px) -> Dict[str, np.ndarray]:
+        jax, jnp = self.jax, self.jnp
+        kps = jnp.asarray(
+            keypoints_px if keypoints_px is not None else np.full((18, 2), np.nan),
+            jnp.float32,
+        )
+        out = jax.jit(lambda p, i, k: self.preproc(p, i, k))(
+            self.sam_params, jnp.asarray(img01, jnp.float32), kps
+        )
+        return {
+            "subject": np.asarray(out.subject, np.float32),
+            "agnostic": np.asarray(out.agnostic, np.float32),
+            "head": np.asarray(out.head, np.float32),
+            "clothes": np.asarray(out.clothes, np.float32),
+        }
+
+    # ----------------------------------------------------------- generate
+    def generate(self, cond: Dict[str, np.ndarray], prompt_ids, neg_ids,
+                 steps=20, guidance=3.5, seed=0):
+        jnp = self.jnp
+        to_norm = lambda a: jnp.asarray(a * 2.0 - 1.0, jnp.float32)[None]
+        to01 = lambda a: jnp.asarray(a, jnp.float32)[None]
+        imgs = [
+            to_norm(cond["agnostic"]), to01(cond["subject_pose"]),
+            to_norm(cond["clothes1"]), to01(cond["clothes1_pose"]),
+            to_norm(cond["clothes2"]), to01(cond["clothes2_pose"]),
+        ]
+        out = self.pipe(
+            self.gen_params, prompt_ids, neg_ids, imgs,
+            rng=self.jax.random.key(seed), num_inference_steps=steps,
+            guidance_scale=guidance,
+        )
+        return np.asarray(out[0])
+
+    def __call__(self, subject01, clothes1_01, clothes2_01, prompt_ids, neg_ids,
+                 steps=20, guidance=3.5, seed=0):
+        kp_s, pose_s = self.detect_pose(subject01)
+        kp_1, pose_1 = self.detect_pose(clothes1_01)
+        kp_2, pose_2 = self.detect_pose(clothes2_01)
+        ex_s = self.extract(subject01, kp_s)
+        ex_1 = self.extract(clothes1_01, kp_1)
+        ex_2 = self.extract(clothes2_01, kp_2)
+        cond = {
+            "agnostic": ex_s["agnostic"], "subject_pose": pose_s,
+            "clothes1": ex_1["clothes"], "clothes1_pose": pose_1,
+            "clothes2": ex_2["clothes"], "clothes2_pose": pose_2,
+        }
+        return self.generate(cond, prompt_ids, neg_ids, steps, guidance, seed)
+
+
+def _load_sam_params(preproc, ckpt_path):  # pragma: no cover - needs weights
+    raise NotImplementedError(
+        "porting EfficientViT-SAM .pt checkpoints requires the torch pickle; "
+        "use export via safetensors + models.efficientvit port mappers"
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from edgestyle_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+
+    system = TryOnSystem(random_init=args.random_init, args=args)
+
+    if args.tokenizer_dir:
+        from edgestyle_tpu.data.tokenizer import CLIPTokenizer
+
+        tok = CLIPTokenizer.from_pretrained_dir(args.tokenizer_dir)
+        ids = jnp.asarray(tok([args.prompt or "edgestyle"]))
+        neg = jnp.asarray(tok([args.negative_prompt]))
+    else:
+        ids = jnp.zeros((1, 77), jnp.int32)
+        neg = jnp.zeros((1, 77), jnp.int32)
+
+    subject = load_image_512(args.subject).astype(np.float32) / 255.0
+    c1 = load_image_512(args.clothes1).astype(np.float32) / 255.0
+    c2 = load_image_512(args.clothes2).astype(np.float32) / 255.0
+
+    out = system(subject, c1, c2, ids, neg, args.steps, args.guidance, args.seed)
+    from PIL import Image
+
+    Image.fromarray((out * 255).astype(np.uint8)).save(args.out)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,18 +1,21 @@
 """Fused flash-attention Pallas kernel for the UNet's spatial self-attention.
 
-The SD1.5 UNet's largest attentions run at N=4096 tokens (64×64 latents,
-d=40) — materializing the (N,N) probability matrix costs ~0.5 GB of HBM
-traffic per layer per step at CFG batch 2 (SURVEY.md §7 stage 4 calls for
-exactly this kernel). This kernel streams K/V tiles through VMEM with the
-classic online-softmax recurrence, so HBM traffic is O(N·d) instead of
-O(N²).
+The SD1.5 UNet's hot attentions run at N=4096/1024 tokens with head dims
+40/80 — bandwidth-bound in XLA (the (N,N) probs matrix costs ~1 GB of HBM
+round-trips per 4096-token layer at CFG batch 2; attention is ~60% of the
+denoise step). This kernel never materializes probs in HBM: a 3-D grid
+(batch·heads, q-blocks, k-blocks) streams K/V tiles through VMEM with the
+online-softmax recurrence held in scratch across the k-block axis (TPU
+grid steps execute sequentially per core, so scratch persists).
 
-Forward = Pallas; backward = custom_vjp that recomputes attention with
-plain XLA ops (training steps are dominated by conv FLOPs, inference by
-the forward).
+Head dims are zero-padded to 128 lanes on the host side: padding the
+contraction (QKᵀ) and output (PV) dims to the MXU's native 128 costs no
+extra MXU passes, and zero-padded K columns contribute exp(0-m)=… nothing
+because the padded q·k products are 0 only in the d-axis — correctness is
+exact (padded v lanes are sliced off).
 
-Shapes: q, k, v (B, H, N, D); D may be non-128-aligned (40/80/160) — Mosaic
-pads lanes internally; block sizes are chosen so everything fits VMEM.
+Forward = Pallas; backward = custom_vjp recompute in plain XLA (training
+is conv-dominated).
 """
 
 from __future__ import annotations
@@ -25,37 +28,50 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LANE = 128
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_k):
-    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, D)
-    block_q, d = q.shape
+def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale):
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
 
-    acc = jnp.zeros((block_q, d), jnp.float32)
-    m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((block_q, 1), jnp.float32)
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
 
-    def body(i, carry):
-        acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc_new, m_new, l_new
+    q = q_ref[0]  # (bq, d) — native dtype, MXU accumulates fp32
+    k = k_ref[0]
+    v = v_ref[0]
 
-    acc, m, l = jax.lax.fori_loop(0, seq_k // block_k, body, (acc, m, l))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk) fp32
+
+    # m/l held lane-replicated (bq, LANE) to keep VPU-friendly layouts
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+    m_new = jnp.maximum(m_prev, jax.lax.broadcast_in_dim(m_cur, m_prev.shape, (0, 1)))
+    p = jnp.exp(s - m_new[:, :1])
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jax.lax.broadcast_in_dim(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape, (0, 1)
+    )
+    acc_ref[:] = acc_ref[:] * alpha[:, :1] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(kk == nk - 1)
+    def _out():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, scale, block_q=256, block_k=512):
+def _flash_forward(q, k, v, scale, block_q=512, block_k=1024):
     b, h, n, d = q.shape
     nk = k.shape[2]
     block_q = min(block_q, n)
@@ -63,27 +79,41 @@ def _flash_forward(q, k, v, scale, block_q=256, block_k=512):
     if n % block_q or nk % block_k:
         raise ValueError(f"seq lengths ({n},{nk}) not divisible by blocks")
 
-    qf = q.reshape(b * h, n, d)
-    kf = k.reshape(b * h, nk, d)
-    vf = v.reshape(b * h, nk, d)
+    dp = max(LANE, ((d + LANE - 1) // LANE) * LANE)
+    pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
+    q_p = jnp.pad(q, pad) if dp != d else q
+    k_p = jnp.pad(k, pad) if dp != d else k
+    v_p = jnp.pad(v, pad) if dp != d else v
 
-    kernel = functools.partial(
-        _flash_fwd_kernel, scale=scale, block_k=block_k, seq_k=nk
-    )
+    qf = q_p.reshape(b * h, n, dp)
+    kf = k_p.reshape(b * h, nk, dp)
+    vf = v_p.reshape(b * h, nk, dp)
+
     out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
-        grid=(b * h, n // block_q),
+        functools.partial(_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, dp), q.dtype),
+        grid=(b * h, n // block_q, nk // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dp), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j, kk: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, dp), jnp.float32),
+            pltpu.VMEM((block_q, LANE), jnp.float32),
+            pltpu.VMEM((block_q, LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(qf, kf, vf)
-    return out.reshape(b, h, n, d)
+    out = out.reshape(b, h, n, dp)
+    return out[..., :d] if dp != d else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -102,8 +132,6 @@ def _xla_attention_f32(q, k, v, scale):
 
 
 def _bwd(scale, res, g):
-    # recompute-based backward in plain XLA (correct and simple; the
-    # training hot path is conv-dominated so this is not the bottleneck)
     q, k, v = res
 
     def f(q, k, v):
