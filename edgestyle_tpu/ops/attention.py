@@ -65,8 +65,14 @@ def multi_head_attention(
 
 
 def _pick_impl(nq: int, nk: int, d: int) -> str:
-    """Flash pays off on the long spatial self-attentions; for the tiny
-    77-token cross attention the XLA path is already VMEM-resident."""
+    """Flash pays off on the long spatial self-attentions (measured 2.4 ms
+    vs 4.4 ms XLA for the 4096-token d=40 layer in clean runs), but the
+    tunneled dev backend shows high run-to-run variance, so 'auto' stays on
+    XLA unless EDGESTYLE_FLASH=1 opts in (or impl='pallas' is passed)."""
+    import os
+
+    if os.environ.get("EDGESTYLE_FLASH") != "1":
+        return "xla"
     try:
         from edgestyle_tpu.ops import flash  # noqa: F401
     except Exception:  # pragma: no cover
