@@ -376,3 +376,138 @@ def postprocess_masks(masks: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     postprocess chain sam.py:219-239 with square 512 inputs)."""
     b, m, h, w = masks.shape
     return jax.image.resize(masks, (b, m) + tuple(out_hw), method="bilinear")
+
+
+# --------------------------------------------------------------------------
+# Weight porting: upstream EfficientViT-SAM checkpoints (han-cai l0/l1/l2 +
+# the four finetuned EdgeStyle decoders) → our param trees. Torch naming
+# follows the reference module structure (OpSequential `op_list`,
+# ResidualBlock `main`, DAGBlock `input_ops`/`middle`/`output_ops`).
+# --------------------------------------------------------------------------
+
+def _bn(m, tp, fp):
+    m.rule(tp + r"\.weight", fp + ".scale")
+    m.rule(tp + r"\.bias", fp + ".bias")
+    m.rule(tp + r"\.running_mean", fp + ".mean")
+    m.rule(tp + r"\.running_var", fp + ".var")
+    m.rule(tp + r"\.num_batches_tracked", "_drop")
+
+
+def _conv_layer(m, tp, fp, norm=True):
+    m.conv(tp + r"\.conv", fp + ".conv")
+    if norm:
+        _bn(m, tp + r"\.norm", fp + ".norm")
+
+
+def _fmb(m, tp, fp, norms=(True, True)):
+    _conv_layer(m, tp + r"\.spatial_conv", fp + ".spatial_conv", norms[0])
+    _conv_layer(m, tp + r"\.point_conv", fp + ".point_conv", norms[1])
+
+
+def _mb(m, tp, fp, norms=(True, True, True)):
+    _conv_layer(m, tp + r"\.inverted_conv", fp + ".inverted_conv", norms[0])
+    _conv_layer(m, tp + r"\.depth_conv", fp + ".depth_conv", norms[1])
+    _conv_layer(m, tp + r"\.point_conv", fp + ".point_conv", norms[2])
+
+
+def port_sam_state_dict(sd, cfg: SamConfig = SAM_L2):
+    """EfficientViTSam torch state dict → flat {path: array}."""
+    from edgestyle_tpu.core.porting import KeyMapper, conv_transpose_kernel
+
+    m = KeyMapper()
+    w, d = cfg.backbone.width_list, cfg.backbone.depth_list
+    B = r"image_encoder\.backbone\.stages"
+    bo = "image_encoder.backbone"
+
+    _conv_layer(m, B + r"\.0\.op_list\.0", f"{bo}.stage0_stem")
+    for j in range(d[0]):
+        _conv_layer(m, B + rf"\.0\.op_list\.{j+1}\.main\.conv1", f"{bo}.stage0_block_{j}.conv1")
+        _conv_layer(m, B + rf"\.0\.op_list\.{j+1}\.main\.conv2", f"{bo}.stage0_block_{j}.conv2")
+    for sid in (1, 2, 3):
+        for j in range(d[sid] + 1):
+            tp = B + rf"\.{sid}\.op_list\.{j}\.main"
+            fp = f"{bo}.stage{sid}_block_{j}"
+            if sid <= 2:
+                _fmb(m, tp, fp, (sid <= 2 and True, True) if sid <= 2 else (True, True))
+                if False:
+                    pass
+            else:  # stage3: MBConv fewer-norm (no norm on first two convs)
+                _mb(m, tp, fp, (False, False, True))
+        # fewer-norm also affects nothing for fused stages (full norms)
+    # stage 4
+    _mb(m, B + r"\.4\.op_list\.0\.main", f"{bo}.stage4_block_0", (False, False, True))
+    for j in range(d[4]):
+        tp = B + rf"\.4\.op_list\.{j+1}"
+        fp = f"{bo}.stage4_vit_{j}"
+        _conv_layer(m, tp + r"\.context_module\.main\.qkv", fp + ".context_module.qkv", norm=False)
+        m.conv(tp + r"\.context_module\.main\.aggreg\.0\.0", fp + ".context_module.aggreg_0_depth")
+        m.conv(tp + r"\.context_module\.main\.aggreg\.0\.1", fp + ".context_module.aggreg_0_point")
+        _conv_layer(m, tp + r"\.context_module\.main\.proj", fp + ".context_module.proj")
+        _mb(m, tp + r"\.local_module\.main", fp + ".local_module", (False, False, True))
+
+    # neck (DAG): input_ops 0/1/2 ↔ fids stage4/stage3/stage2
+    for i, fid in enumerate(("stage4", "stage3", "stage2")):
+        _conv_layer(m, rf"image_encoder\.neck\.input_ops\.{i}\.op_list\.0",
+                    f"image_encoder.neck.input_{fid}")
+    for j in range(64):  # covers any head depth
+        _fmb(m, rf"image_encoder\.neck\.middle\.op_list\.{j}\.main",
+             f"image_encoder.neck.middle_{j}")
+    _conv_layer(m, r"image_encoder\.neck\.output_ops\.0\.op_list\.0",
+                "image_encoder.neck.output_sam_encoder", norm=False)
+    m.norm(r"image_encoder\.norm", "image_encoder.norm")
+
+    # prompt encoder
+    m.rule(r"prompt_encoder\.pe_layer\.positional_encoding_gaussian_matrix",
+           "prompt_encoder.pe_gaussian")
+    m.rule(r"prompt_encoder\.point_embeddings\.(\d)\.weight", "_pe_point_\\1")
+    m.rule(r"prompt_encoder\.not_a_point_embed\.weight", "_pe_nap")
+    m.rule(r"prompt_encoder\.no_mask_embed\.weight", "_pe_nomask")
+    m.rule(r"prompt_encoder\.mask_downscaling\..*", "_drop")
+
+    # mask decoder
+    md = r"mask_decoder"
+    fo = "mask_decoder"
+    m.rule(md + r"\.iou_token\.weight", fo + ".iou_token")
+    m.rule(md + r"\.mask_tokens\.weight", fo + ".mask_tokens")
+    for i in range(2):
+        tp = md + rf"\.transformer\.layers\.{i}"
+        fp = fo + f".transformer.layers_{i}"
+        for attn in ("self_attn", "cross_attn_token_to_image", "cross_attn_image_to_token"):
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                m.linear(tp + rf"\.{attn}\.{proj}", fp + f".{attn}.{proj}")
+        for norm in ("norm1", "norm2", "norm3", "norm4"):
+            m.norm(tp + rf"\.{norm}", fp + f".{norm}")
+        m.linear(tp + r"\.mlp\.lin1", fp + ".mlp_lin1")
+        m.linear(tp + r"\.mlp\.lin2", fp + ".mlp_lin2")
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        m.linear(md + rf"\.transformer\.final_attn_token_to_image\.{proj}",
+                 fo + f".transformer.final_attn_token_to_image.{proj}")
+    m.norm(md + r"\.transformer\.norm_final_attn", fo + ".transformer.norm_final_attn")
+    m.rule(md + r"\.output_upscaling\.0\.weight", fo + ".upscale_conv1.kernel",
+           conv_transpose_kernel)
+    m.rule(md + r"\.output_upscaling\.0\.bias", fo + ".upscale_conv1.bias")
+    m.norm(md + r"\.output_upscaling\.1", fo + ".upscale_norm")
+    m.rule(md + r"\.output_upscaling\.3\.weight", fo + ".upscale_conv2.kernel",
+           conv_transpose_kernel)
+    m.rule(md + r"\.output_upscaling\.3\.bias", fo + ".upscale_conv2.bias")
+    for i in range(4):
+        for j in range(3):
+            m.linear(md + rf"\.output_hypernetworks_mlps\.{i}\.layers\.{j}",
+                     fo + f".hyper_mlps_{i}.layers_{j}")
+    for j in range(3):
+        m.linear(md + rf"\.iou_prediction_head\.layers\.{j}", fo + f".iou_mlp.layers_{j}")
+
+    out = m.apply(sd, strict=True)
+    # post-fix the prompt-encoder embedding tables
+    import numpy as _np
+
+    pts = [out.pop(f"_pe_point_{i}") for i in range(4) if f"_pe_point_{i}" in out]
+    if pts:
+        out["prompt_encoder.point_embeddings"] = _np.concatenate(pts, axis=0)
+    if "_pe_nap" in out:
+        out["prompt_encoder.not_a_point_embed"] = out.pop("_pe_nap")[0]
+    if "_pe_nomask" in out:
+        out["prompt_encoder.no_mask_embed"] = out.pop("_pe_nomask")[0]
+    for k in [k for k in out if k == "_drop"]:
+        out.pop(k)
+    return out

@@ -65,13 +65,13 @@ def multi_head_attention(
 
 
 def _pick_impl(nq: int, nk: int, d: int) -> str:
-    """Flash pays off on the long spatial self-attentions (measured 2.4 ms
-    vs 4.4 ms XLA for the 4096-token d=40 layer in clean runs), but the
-    tunneled dev backend shows high run-to-run variance, so 'auto' stays on
-    XLA unless EDGESTYLE_FLASH=1 opts in (or impl='pallas' is passed)."""
+    """Flash is the default for the long spatial self-attentions: measured
+    end-to-end 0.665 vs 0.271 images/sec on the full 6-branch try-on
+    (2.45×) — the N≥1024 attentions are bandwidth-bound in XLA. Opt out
+    with EDGESTYLE_FLASH=0 (e.g. for parity debugging)."""
     import os
 
-    if os.environ.get("EDGESTYLE_FLASH") != "1":
+    if os.environ.get("EDGESTYLE_FLASH", "1") == "0":
         return "xla"
     try:
         from edgestyle_tpu.ops import flash  # noqa: F401
