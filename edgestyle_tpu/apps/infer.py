@@ -37,6 +37,9 @@ def parse_args(argv=None):
                    default="monochrome, lowres, bad anatomy, worst quality, low quality")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--guidance", type=float, default=3.5)
+    p.add_argument("--guidance_sweep", action="store_true",
+                   help="3x3 grid over guidance 1.0→7.0 like the reference "
+                        "test_text2image script (:318-365)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="result.png")
     return p.parse_args(argv)
@@ -101,13 +104,27 @@ def main(argv=None):
         else:
             imgs.append(jnp.zeros((1, 512, 512, 3), jnp.float32))
 
-    out = pipe(
-        params, ids, neg, imgs,
-        rng=jax.random.key(args.seed),
-        num_inference_steps=args.steps,
-        guidance_scale=args.guidance,
-    )
-    arr = (np.asarray(out[0]) * 255).astype(np.uint8)
+    if args.guidance_sweep:
+        import numpy as _np
+
+        scales = _np.linspace(1.0, 7.0, 9)
+        tiles = []
+        for g in scales:
+            out = pipe(
+                params, ids, neg, imgs, rng=jax.random.key(args.seed),
+                num_inference_steps=args.steps, guidance_scale=float(g),
+            )
+            tiles.append(np.asarray(out[0]))
+        rows = [np.concatenate(tiles[i * 3 : (i + 1) * 3], axis=1) for i in range(3)]
+        arr = (np.concatenate(rows, axis=0) * 255).astype(np.uint8)
+    else:
+        out = pipe(
+            params, ids, neg, imgs,
+            rng=jax.random.key(args.seed),
+            num_inference_steps=args.steps,
+            guidance_scale=args.guidance,
+        )
+        arr = (np.asarray(out[0]) * 255).astype(np.uint8)
     from PIL import Image
 
     Image.fromarray(arr).save(args.out)

@@ -191,6 +191,15 @@ def main(argv=None):
                 writer.add_scalar("train_lr", d, gstep)
         if args.checkpointing_steps and gstep % args.checkpointing_steps == 0:
             save_checkpoint(args.output_dir, state, args.checkpoints_total_limit)
+        if args.validation_steps and gstep % args.validation_steps == 0 and writer:
+            from edgestyle_tpu.training.validation import log_validation
+
+            val_batch = jax.tree.map(lambda x: np.asarray(x[0]), batch)  # first microbatch
+            host_trainable = jax.device_get(state["trainable"])
+            log_validation(
+                pipe, frozen, host_trainable, val_batch, gstep, writer,
+                num_inference_steps=8,
+            )
 
     save_checkpoint(args.output_dir, state, args.checkpoints_total_limit)
     export_safetensors(

@@ -149,3 +149,23 @@ def test_train_step_data_parallel_matches_single(train_setup):
     l2 = jax.tree.leaves(s2["trainable"])
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_dp_gradients_use_allreduce(train_setup):
+    """The compiled DP train step must contain a cross-replica all-reduce
+    (XLA's psum emitted by GSPMD) — the TPU-native equivalent of the
+    reference's DDP/NCCL gradient sync (SURVEY.md §2.5)."""
+    pipe, cfg, frozen, state = train_setup
+    mesh = make_mesh(MeshSpec(data=8))
+    step = make_train_step(pipe, cfg)
+    batch = _batch(2, accum=1, mb=8)
+
+    shard = NamedSharding(mesh, P(None, DATA_AXIS))
+    batch_s = jax.tree.map(lambda x: jax.device_put(x, shard), batch)
+    repl = NamedSharding(mesh, P())
+    state_r = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+    frozen_r = jax.tree.map(lambda x: jax.device_put(x, repl), frozen)
+
+    compiled = jax.jit(step).lower(state_r, frozen_r, batch_s, jax.random.key(0)).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo, "no gradient all-reduce found in compiled HLO"
