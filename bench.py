@@ -1,26 +1,173 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints ONE JSON line per config (default: the
+north-star try-on config, which is what the driver records).
 
-North-star metric (BASELINE.json): try-on images/sec at 512px, 20 steps,
-UNet + 6-branch MultiControlNet, on the real TPU chip.
+BASELINE.json's five configs are all runnable:
+  tryon      (default) full 6-branch try-on, 512px, 20 steps, CFG, bf16
+  vae        sd-vae-ft-mse encode→decode roundtrip, one 512×512 image
+  sam        EfficientViT-L2-SAM mask extraction (box prompt, multimask)
+  unet_cn    SD1.5 UNet 20-step denoise with a single ControlNet, CFG
+  train      ControlLoRA finetune step (Prodigy, snr_gamma 5, bs2×ga32 on
+             one chip — the reference recipe shape)
 
 Baseline: the reference publishes no numbers (BASELINE.md); its deployment
-target is Jetson Orin via ONNX Runtime at 20 steps (app.py:228-237,
-Dockerfile). We use 30 s/image (0.0333 img/s) as the documented Orin
-estimate for SD1.5 512px/20-step with a 6-branch multicontrolnet — SD1.5
-alone runs ~10-20 s there and the 6 branches roughly triple trunk FLOPs.
-vs_baseline > 10 meets the BASELINE.json target.
+target is Jetson Orin/ONNX at 20 steps. 30 s/image is the documented Orin
+estimate for the 6-branch config; vs_baseline > 10 meets the target.
 
-Timing notes (this environment): block_until_ready does not flush the axon
-tunnel — a host readback of a slice is required for honest timing.
+Timing notes: block_until_ready does not flush the axon tunnel — a host
+readback is required (see utils/profiling.timeit).
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
-
 JETSON_ORIN_BASELINE_IMAGES_PER_SEC = 1.0 / 30.0
+
+
+def _sync(x):
+    import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
+def _time(fn, iters=3):
+    out = fn(0)
+    _sync(out)
+    t0 = time.time()
+    for i in range(iters):
+        out = fn(i + 1)
+    _sync(out)
+    return (time.time() - t0) / iters
+
+
+def bench_tryon():
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+
+    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
+    params = pipe.init_params(jax.random.key(0))
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
+    )
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
+    neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
+    imgs = [jnp.asarray(rng.standard_normal((1, 512, 512, 3)), jnp.float32) * 0.1
+            for _ in range(6)]
+    dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
+                              num_inference_steps=20, guidance_scale=3.5))
+    ips = 1.0 / dt
+    return {
+        "metric": "tryon_images_per_sec_512px_20steps_6branch",
+        "value": round(ips, 4), "unit": "images/sec",
+        "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2),
+    }
+
+
+def bench_vae():
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
+    img = jax.random.normal(jax.random.key(0), (1, 512, 512, 3))
+    p = jax.jit(vae.init)(jax.random.key(1), img)
+    p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+    f = jax.jit(lambda p, x: vae.apply(p, vae.apply(p, x, method=vae.encode),
+                                       method=vae.decode))
+    dt = _time(lambda s: f(p, img), iters=10)
+    return {"metric": "vae_roundtrip_512px_ms", "value": round(dt * 1e3, 2),
+            "unit": "ms", "vs_baseline": None}
+
+
+def bench_sam():
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.models.efficientvit.sam import (
+        SAM_L2, EfficientViTSam, boxes_to_points, preprocess_sam_image)
+
+    sam = EfficientViTSam(SAM_L2, dtype=jnp.bfloat16)
+    img = preprocess_sam_image(jax.random.uniform(jax.random.key(0), (1, 512, 512, 3)))
+    pts, lbl = boxes_to_points(jnp.array([[100.0, 150.0, 400.0, 480.0]]))
+    p = jax.jit(sam.init)(jax.random.key(1), img, pts, lbl)
+    f = jax.jit(lambda p, i, pt, lb: sam.apply(p, i, pt, lb, multimask_output=True))
+    dt = _time(lambda s: f(p, img, pts, lbl), iters=10)
+    return {"metric": "sam_l2_mask_forward_512px_ms", "value": round(dt * 1e3, 2),
+            "unit": "ms", "vs_baseline": None}
+
+
+def bench_unet_cn():
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.models.unet import SD15UNet, UNetConfig
+
+    cfg = UNetConfig()
+    unet = SD15UNet(cfg, dtype=jnp.bfloat16, attn_impl="auto")
+    cn = SD15UNet(cfg, controlnet_mode=True, dtype=jnp.bfloat16, attn_impl="auto")
+    x = jax.random.normal(jax.random.key(0), (2, 64, 64, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    ctx = jax.random.normal(jax.random.key(1), (2, 77, 768))
+    emb = jax.random.normal(jax.random.key(2), (2, 64, 64, 320))
+    up = jax.jit(unet.init)(jax.random.key(3), x, t, ctx)
+    cp = jax.jit(lambda r: cn.init(r, x, t, ctx, emb, method="controlnet_forward"))(
+        jax.random.key(4))
+    up = jax.tree.map(lambda a: a.astype(jnp.bfloat16), up)
+    cp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), cp)
+
+    @jax.jit
+    def step(up, cp, x, t, ctx, emb):
+        down, mid = cn.apply(cp, x, t, ctx, emb, method="controlnet_forward")
+        return unet.apply(up, x, t, ctx, down_block_additional_residuals=down,
+                          mid_block_additional_residual=mid)
+
+    dt = _time(lambda s: step(up, cp, x, t, ctx, emb), iters=10)
+    return {"metric": "unet_single_controlnet_step_cfg2_ms",
+            "value": round(dt * 1e3, 2), "unit": "ms", "vs_baseline": None}
+
+
+def bench_train():
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+    from edgestyle_tpu.training.train_step import (
+        TrainConfig, init_trainable, make_optimizer, make_train_step)
+
+    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"))
+    params = pipe.init_params(jax.random.key(0))
+    frozen = {"vae": params["vae"], "clip": params["clip"], "unet": params["unet"],
+              "static": params["controlnet"]["static"]}
+    cfg = TrainConfig(grad_accum=2)  # 2 microbatches of 2 per step (chip-sized)
+    trainable = init_trainable(pipe, jax.random.key(1), params["unet"], 32)
+    state = {"trainable": trainable, "opt_state": make_optimizer(cfg).init(trainable),
+             "step": jnp.zeros([], jnp.int32)}
+    g = np.random.default_rng(0)
+    img = lambda: jnp.asarray(g.standard_normal((2, 2, 512, 512, 3)), jnp.float32) * 0.2
+    batch = {"original": img(), "agnostic": img(), "head": img(), "clothes": img(), "clothes2": img(),
+             "original_openpose": img(), "clothes_openpose": img(),
+             "clothes_openpose2": img(),
+             "input_ids": jnp.asarray(g.integers(1, 49000, (2, 2, 77)), jnp.int32)}
+    step = jax.jit(make_train_step(pipe, cfg))
+
+    def run(s):
+        ns, m = step(state, frozen, batch, jax.random.key(s))
+        return m["loss"]
+
+    dt = _time(run, iters=3)
+    return {"metric": "controllora_train_step_bs2xga2_s",
+            "value": round(dt, 3), "unit": "s", "vs_baseline": None}
+
+
+CONFIGS = {"tryon": bench_tryon, "vae": bench_vae, "sam": bench_sam,
+           "unet_cn": bench_unet_cn, "train": bench_train}
 
 
 def main():
@@ -28,52 +175,13 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
 
-    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
-
-    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
-    params = pipe.init_params(jax.random.key(0))
-    # inference-only: keep weights bf16 to halve HBM traffic/footprint
-    params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
-
-    b = 1
-    rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(1, 49000, (b, 77)), jnp.int32)
-    neg = jnp.asarray(rng.integers(1, 49000, (b, 77)), jnp.int32)
-    imgs = [
-        jnp.asarray(rng.standard_normal((b, 512, 512, 3)), jnp.float32) * 0.1
-        for _ in range(6)
-    ]
-
-    steps = 20
-    run = lambda seed: pipe(
-        params, ids, neg, imgs, rng=jax.random.key(seed),
-        num_inference_steps=steps, guidance_scale=3.5,
-    )
-    out = run(0)
-    _ = np.asarray(out[0, 0, 0])  # force completion (compile + warm)
-
-    n_rep = 3
-    t0 = time.time()
-    for i in range(n_rep):
-        out = run(i + 1)
-    _ = np.asarray(out[0, 0, 0])
-    dt = (time.time() - t0) / n_rep
-
-    ips = b / dt
-    print(
-        json.dumps(
-            {
-                "metric": "tryon_images_per_sec_512px_20steps_6branch",
-                "value": round(ips, 4),
-                "unit": "images/sec",
-                "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2),
-            }
-        )
-    )
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=list(CONFIGS) + ["all"], default="tryon")
+    args = ap.parse_args()
+    names = list(CONFIGS) if args.config == "all" else [args.config]
+    for n in names:
+        print(json.dumps(CONFIGS[n]()), flush=True)
 
 
 if __name__ == "__main__":

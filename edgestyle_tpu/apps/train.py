@@ -51,7 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--proportion_patchworks", type=float, default=0.0)
     p.add_argument("--use_agnostic_images", action="store_true", default=True)
     # optimization (reference recipe: prodigy lr 1.0, snr_gamma 5)
+    p.add_argument("--optimizer", type=str, default="prodigy", choices=["prodigy", "adamw"])
     p.add_argument("--learning_rate", type=float, default=1.0)
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
     p.add_argument("--snr_gamma", type=float, default=5.0)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--adam_weight_decay", type=float, default=1e-4)
@@ -118,11 +120,14 @@ def main(argv=None):
     tcfg = TrainConfig(
         snr_gamma=args.snr_gamma,
         max_grad_norm=args.max_grad_norm,
+        optimizer=args.optimizer,
         learning_rate=args.learning_rate,
+        lr_warmup_steps=args.lr_warmup_steps,
         lr_total_steps=(
             args.max_train_steps if args.lr_scheduler == "cosine_annealing" else None
         ),
         weight_decay=args.adam_weight_decay,
+        use_agnostic=args.use_agnostic_images,
         grad_accum=args.gradient_accumulation_steps,
     )
     trainable = init_trainable(pipe, rng, params["unet"], args.controllora_linear_rank)
@@ -221,7 +226,7 @@ def _synthetic_loader(args):
                 (accum, mb, res, res, 3)
             ).astype(np.float32) * 0.2
             yield {
-                "original": img(), "agnostic": img(), "clothes": img(),
+                "original": img(), "agnostic": img(), "head": img(), "clothes": img(),
                 "clothes2": img(), "original_openpose": np.abs(img()),
                 "clothes_openpose": np.abs(img()), "clothes_openpose2": np.abs(img()),
                 "input_ids": g.integers(1, 49000, (accum, mb, 77)).astype(np.int32),

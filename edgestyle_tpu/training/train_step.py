@@ -38,8 +38,13 @@ from edgestyle_tpu.training.prodigy import get_d, prodigy
 class TrainConfig:
     snr_gamma: Optional[float] = 5.0
     max_grad_norm: float = 1.0
+    optimizer: str = "prodigy"  # "prodigy" | "adamw" (reference train...py:906-948)
     learning_rate: float = 1.0
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
     lr_total_steps: Optional[int] = None  # cosine annealing T_max; None = const
+    lr_warmup_steps: int = 0
     weight_decay: float = 1e-4
     swap_prob: float = 0.5
     use_agnostic: bool = True
@@ -50,6 +55,7 @@ class TrainConfig:
 BATCH_KEYS = (
     "original",            # (B,H,W,3) in [-1,1]
     "agnostic",            # VAE-branch conds in [-1,1]
+    "head",                # used instead of agnostic when use_agnostic=False
     "clothes",
     "clothes2",
     "original_openpose",   # conv-branch conds in [0,1]
@@ -64,12 +70,24 @@ def make_optimizer(cfg: TrainConfig):
         sched = optax.cosine_decay_schedule(
             cfg.learning_rate, cfg.lr_total_steps, alpha=1e-6 / cfg.learning_rate
         )
+        if cfg.lr_warmup_steps:
+            sched = optax.join_schedules(
+                [optax.linear_schedule(0.0, cfg.learning_rate, cfg.lr_warmup_steps), sched],
+                [cfg.lr_warmup_steps],
+            )
     else:
         sched = cfg.learning_rate
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        prodigy(learning_rate=sched, weight_decay=cfg.weight_decay),
-    )
+    if cfg.optimizer == "adamw":
+        inner = optax.adamw(
+            sched, b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_epsilon,
+            weight_decay=cfg.weight_decay,
+        )
+    else:
+        inner = prodigy(
+            learning_rate=sched, betas=(cfg.adam_beta1, cfg.adam_beta2),
+            eps=cfg.adam_epsilon, weight_decay=cfg.weight_decay,
+        )
+    return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
 
 
 def init_train_state(pipe: EdgeStylePipeline, params: Dict, cfg: TrainConfig):
@@ -152,9 +170,12 @@ def controlnet_loss_fn(
     t = jax.random.randint(r_t, (b,), 0, sched.num_train_timesteps)
     noisy = add_noise(sched, latents, noise, t)
 
-    # cond embeddings — VAE-latent branches (0,2,4) batched in one encode
+    # cond embeddings — VAE-latent branches (0,2,4) batched in one encode;
+    # branch 0 is agnostic or head per --use_agnostic_images (reference
+    # train...py:1183-1185)
+    first = batch["agnostic"] if cfg.use_agnostic else batch["head"]
     vae_conds = jnp.concatenate(
-        [batch["agnostic"], batch["clothes"], batch["clothes2"]], axis=0
+        [first, batch["clothes"], batch["clothes2"]], axis=0
     )
     lat_c = (
         pipe.vae.apply({"params": frozen["vae"]}, vae_conds, r_cond,
@@ -228,7 +249,11 @@ def make_train_step(pipe: EdgeStylePipeline, cfg: TrainConfig, sched=None):
             "opt_state": opt_state,
             "step": state["step"] + 1,
         }
-        metrics = {"loss": jnp.mean(losses), "d": get_d(opt_state)}
+        if cfg.optimizer == "prodigy":
+            d = get_d(opt_state)
+        else:
+            d = jnp.asarray(cfg.learning_rate, jnp.float32)
+        metrics = {"loss": jnp.mean(losses), "d": d}
         return new_state, metrics
 
     return train_step

@@ -100,6 +100,7 @@ def _batch(rng, accum=2, mb=1, hw=32, ids_len=7):
     return {
         "original": img(),
         "agnostic": img(),
+        "head": img(),
         "clothes": img(),
         "clothes2": img(),
         "original_openpose": img(),
@@ -169,3 +170,15 @@ def test_dp_gradients_use_allreduce(train_setup):
     compiled = jax.jit(step).lower(state_r, frozen_r, batch_s, jax.random.key(0)).compile()
     hlo = compiled.as_text()
     assert "all-reduce" in hlo, "no gradient all-reduce found in compiled HLO"
+
+
+def test_adamw_optimizer_option():
+    cfg = TrainConfig(optimizer="adamw", learning_rate=1e-3, grad_accum=1)
+    from edgestyle_tpu.training.train_step import make_optimizer
+
+    opt = make_optimizer(cfg)
+    x = {"w": jnp.ones(4)}
+    s = opt.init(x)
+    u, s = opt.update({"w": jnp.ones(4) * 0.5}, s, x)
+    x2 = optax.apply_updates(x, u)
+    assert not np.allclose(np.asarray(x2["w"]), np.asarray(x["w"]))
