@@ -7,8 +7,6 @@ vectorized meshgrid mask."""
 from __future__ import annotations
 
 import math
-from typing import Dict
-
 import numpy as np
 
 from edgestyle_tpu.data.transforms import (

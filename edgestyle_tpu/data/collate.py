@@ -18,7 +18,6 @@ from edgestyle_tpu.data.augment import Augmentations
 from edgestyle_tpu.data.transforms import (
     BG_COLOR,
     BG_COLOR_CONTROLNET,
-    RESOLUTION,
     make_inpaint_condition,
     paired_transform,
     standard_image,

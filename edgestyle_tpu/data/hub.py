@@ -5,7 +5,7 @@ bytes to numpy HWC uint8, with the fixed 4-example test split."""
 from __future__ import annotations
 
 import io
-from typing import Dict, Iterator, List
+from typing import Dict, List
 
 import numpy as np
 

@@ -15,7 +15,7 @@ single 224px CLIP vision forward + one matmul) runs fully jitted.
 from __future__ import annotations
 
 import functools
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Sequence
 
 import jax
 import jax.numpy as jnp

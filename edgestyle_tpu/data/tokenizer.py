@@ -16,7 +16,7 @@ import html
 import json
 import os
 import re
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -14,15 +14,12 @@ EOS-token projection (`text_projection`, no bias).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from edgestyle_tpu.core.porting import KeyMapper
 from edgestyle_tpu.models.layers import LayerNorm
-from edgestyle_tpu.ops.attention import multi_head_attention
 
 
 @dataclasses.dataclass(frozen=True)

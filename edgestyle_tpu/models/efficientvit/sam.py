@@ -18,7 +18,7 @@ photo→masks program is shape-static and jittable.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax
@@ -428,12 +428,9 @@ def port_sam_state_dict(sd, cfg: SamConfig = SAM_L2):
             tp = B + rf"\.{sid}\.op_list\.{j}\.main"
             fp = f"{bo}.stage{sid}_block_{j}"
             if sid <= 2:
-                _fmb(m, tp, fp, (sid <= 2 and True, True) if sid <= 2 else (True, True))
-                if False:
-                    pass
+                _fmb(m, tp, fp, (True, True))
             else:  # stage3: MBConv fewer-norm (no norm on first two convs)
                 _mb(m, tp, fp, (False, False, True))
-        # fewer-norm also affects nothing for fused stages (full norms)
     # stage 4
     _mb(m, B + r"\.4\.op_list\.0\.main", f"{bo}.stage4_block_0", (False, False, True))
     for j in range(d[4]):

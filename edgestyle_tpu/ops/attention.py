@@ -17,8 +17,6 @@ spatial and 77 text tokens.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -22,8 +22,7 @@ the same program.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

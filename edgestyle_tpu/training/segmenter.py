@@ -22,7 +22,7 @@ pipelines/preprocess.TryOnPreprocessor for shared-encoder inference).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
