@@ -145,16 +145,18 @@ def bench_train():
     params = pipe.init_params(jax.random.key(0))
     frozen = {"vae": params["vae"], "clip": params["clip"], "unet": params["unet"],
               "static": params["controlnet"]["static"]}
-    cfg = TrainConfig(grad_accum=2)  # 2 microbatches of 2 per step (chip-sized)
-    trainable = init_trainable(pipe, jax.random.key(1), params["unet"], 32)
+    unet_p = params["unet"]
+    del params  # free the merged inference-only lora branches (HBM headroom)
+    cfg = TrainConfig(grad_accum=1)
+    trainable = init_trainable(pipe, jax.random.key(1), unet_p, 32)
     state = {"trainable": trainable, "opt_state": make_optimizer(cfg).init(trainable),
              "step": jnp.zeros([], jnp.int32)}
     g = np.random.default_rng(0)
-    img = lambda: jnp.asarray(g.standard_normal((2, 2, 512, 512, 3)), jnp.float32) * 0.2
+    img = lambda: jnp.asarray(g.standard_normal((1, 1, 512, 512, 3)), jnp.float32) * 0.2
     batch = {"original": img(), "agnostic": img(), "head": img(), "clothes": img(), "clothes2": img(),
              "original_openpose": img(), "clothes_openpose": img(),
              "clothes_openpose2": img(),
-             "input_ids": jnp.asarray(g.integers(1, 49000, (2, 2, 77)), jnp.int32)}
+             "input_ids": jnp.asarray(g.integers(1, 49000, (1, 1, 77)), jnp.int32)}
     step = jax.jit(make_train_step(pipe, cfg))
 
     def run(s):
@@ -162,7 +164,8 @@ def bench_train():
         return m["loss"]
 
     dt = _time(run, iters=3)
-    return {"metric": "controllora_train_step_bs2xga2_s",
+    # per-sample time; the reference recipe (bs2×ga32) is 64 samples/step
+    return {"metric": "controllora_train_step_per_sample_s",
             "value": round(dt, 3), "unit": "s", "vs_baseline": None}
 
 

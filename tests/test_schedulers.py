@@ -195,3 +195,47 @@ def test_ddim_first_order_convergence_to_analytic_map():
         errs.append(float(jnp.max(jnp.abs(x - exact_solution(sched, xT, int(ts[0]))))))
     assert errs[1] < errs[0] / 2, errs
     assert errs[1] < 0.02, errs
+
+
+def test_v_prediction_roundtrip():
+    """to_x0(v) must invert get_velocity: for x_t = a·x0 + s·ε and
+    v = a·ε − s·x0, a·x_t − s·v == x0 exactly."""
+    import dataclasses as _dc
+
+    from edgestyle_tpu.schedulers.ddpm import add_noise, get_velocity, training_target
+    from edgestyle_tpu.schedulers.unipc import UniPCScheduler
+
+    sched = _dc.replace(NoiseSchedule.sd15(), prediction_type="v_prediction")
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((2, 4, 4, 1)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((2, 4, 4, 1)), jnp.float32)
+    t = jnp.array([100, 700])
+    xt = add_noise(sched, x0, eps, t)
+    v = get_velocity(sched, x0, eps, t)
+    np.testing.assert_array_equal(np.asarray(training_target(sched, x0, eps, t)),
+                                  np.asarray(v))
+    sch = UniPCScheduler(sched)
+    # to_x0 operates per-sample scalar t; check both entries
+    for i in range(2):
+        rec = sch.to_x0(v[i], xt[i], t[i])
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x0[i]), atol=1e-5)
+
+
+def test_ddim_v_prediction_step_consistency():
+    """A DDIM step fed perfectly consistent (x_t, v) must land exactly on
+    the x0/ε decomposition at the previous timestep."""
+    import dataclasses as _dc
+
+    from edgestyle_tpu.schedulers.ddpm import add_noise, get_velocity
+
+    sched = _dc.replace(NoiseSchedule.sd15(), prediction_type="v_prediction")
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.standard_normal((1, 4)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((1, 4)), jnp.float32)
+    t, t_prev = 500, 400
+    xt = add_noise(sched, x0, eps, jnp.array([t]))
+    v = get_velocity(sched, x0, eps, jnp.array([t]))
+    ddim = DDIMScheduler(sched)
+    out = ddim.step(v, t, t_prev, xt)
+    expect = add_noise(sched, x0, eps, jnp.array([t_prev]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
