@@ -247,6 +247,8 @@ class EdgeStylePipeline:
 
         Defaults mirror the reference app (20 steps, guidance 3.5,
         /root/reference/app.py:228-237)."""
+        self._check_inputs(prompt_ids, negative_prompt_ids, cond_images,
+                           num_inference_steps, latents)
         if rng is None:
             rng = jax.random.key(0)
         if conditioning_scale is not None:
@@ -256,6 +258,44 @@ class EdgeStylePipeline:
             num_inference_steps, jnp.float32(guidance_scale), conditioning_scale,
             latents, return_latents=return_latents,
         )
+
+
+    def _check_inputs(self, prompt_ids, negative_prompt_ids, cond_images,
+                      num_inference_steps, latents):
+        """Host-side validation (reference check_inputs,
+        edgestyle_pipeline.py:267-307; resolution%8 check train...py:640)."""
+        cfg = self.cfg
+        if prompt_ids.shape != negative_prompt_ids.shape:
+            raise ValueError(
+                f"prompt ids {prompt_ids.shape} vs negative {negative_prompt_ids.shape}"
+            )
+        if prompt_ids.ndim != 2 or prompt_ids.shape[1] != cfg.clip.max_positions:
+            raise ValueError(
+                f"prompt_ids must be (B, {cfg.clip.max_positions}), got {prompt_ids.shape}"
+            )
+        if len(cond_images) != cfg.num_branches:
+            raise ValueError(
+                f"expected {cfg.num_branches} control images, got {len(cond_images)}"
+            )
+        b = prompt_ids.shape[0]
+        for i, im in enumerate(cond_images):
+            if im.ndim != 4 or im.shape[0] != b or im.shape[-1] != 3:
+                raise ValueError(
+                    f"cond image {i}: expected (B={b}, H, W, 3), got {tuple(im.shape)}"
+                )
+            if im.shape[1] % 8 or im.shape[2] % 8:
+                raise ValueError(
+                    f"cond image {i}: H/W must be divisible by 8, got {tuple(im.shape)}"
+                )
+        if num_inference_steps < 1:
+            raise ValueError("num_inference_steps must be >= 1")
+        if latents is not None:
+            hw = cfg.vae.sample_size // self.vae_downscale
+            want = (b, hw, hw, cfg.unet.in_channels)
+            if tuple(latents.shape) != want:
+                raise ValueError(f"latents must be {want}, got {tuple(latents.shape)}")
+
+    # ------------------------------------------------------------------
 
 
 def _conv_in_apply(conv_params, x):

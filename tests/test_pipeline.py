@@ -111,3 +111,19 @@ def test_conditioning_scale_has_effect(pipe_and_params, rng):
     b = pipe(params, ids, neg, imgs, latents=lat, num_inference_steps=2,
              conditioning_scale=[0.0] * 6, return_latents=True)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_check_inputs_validation(pipe_and_params, rng):
+    pipe, params = pipe_and_params
+    ids, neg, imgs = _inputs(rng)
+    with pytest.raises(ValueError, match="control images"):
+        pipe(params, ids, neg, imgs[:5], num_inference_steps=1)
+    with pytest.raises(ValueError, match="divisible by 8"):
+        bad = list(imgs)
+        bad[2] = jnp.zeros((1, 30, 30, 3))
+        pipe(params, ids, neg, bad, num_inference_steps=1)
+    with pytest.raises(ValueError, match="prompt ids"):
+        pipe(params, ids, neg[:1, :5] if neg.shape[1] > 5 else neg[:, :5], imgs)
+    with pytest.raises(ValueError, match="latents"):
+        pipe(params, ids, neg, imgs, latents=jnp.zeros((1, 8, 8, 4)),
+             num_inference_steps=1)
