@@ -169,8 +169,34 @@ def bench_train():
             "value": round(dt, 3), "unit": "s", "vs_baseline": None}
 
 
-CONFIGS = {"tryon": bench_tryon, "vae": bench_vae, "sam": bench_sam,
-           "unet_cn": bench_unet_cn, "train": bench_train}
+def bench_tryon_b4():
+    """Serving-throughput variant: batch 4 (B=1 is the latency headline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+
+    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
+    params = pipe.init_params(jax.random.key(0))
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
+    )
+    rng = np.random.default_rng(0)
+    B = 4
+    ids = jnp.asarray(rng.integers(1, 49000, (B, 77)), jnp.int32)
+    neg = jnp.asarray(rng.integers(1, 49000, (B, 77)), jnp.int32)
+    imgs = [jnp.asarray(rng.standard_normal((B, 512, 512, 3)), jnp.float32) * 0.1
+            for _ in range(6)]
+    dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
+                              num_inference_steps=20, guidance_scale=3.5))
+    ips = B / dt
+    return {"metric": "tryon_throughput_b4_images_per_sec", "value": round(ips, 4),
+            "unit": "images/sec",
+            "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+
+
+CONFIGS = {"tryon": bench_tryon, "tryon_b4": bench_tryon_b4, "vae": bench_vae,
+           "sam": bench_sam, "unet_cn": bench_unet_cn, "train": bench_train}
 
 
 def main():

@@ -239,3 +239,17 @@ def test_ddim_v_prediction_step_consistency():
     out = ddim.step(v, t, t_prev, xt)
     expect = add_noise(sched, x0, eps, jnp.array([t_prev]))
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+
+
+def test_unipc_single_step_plan():
+    """steps=1 must degenerate cleanly: order 1, no corrector, finite output."""
+    sched = NoiseSchedule.sd15()
+    sch = UniPCScheduler(sched)
+    plan = sch.plan(1)
+    assert plan.num_steps == 1
+    assert int(plan.pred_order[0]) == 1
+    assert not bool(plan.use_corrector[0])
+    eps = exact_eps(sched)
+    xT = jnp.asarray(np.random.default_rng(0).standard_normal((4, 1)), jnp.float32)
+    out = jax.jit(lambda x: sch.sample_loop(plan, eps, x))(xT)
+    assert np.isfinite(np.asarray(out)).all()
