@@ -37,6 +37,9 @@ def parse_args(argv=None):
                    help="default: mined from the clothes image when CLIP vision weights are available")
     p.add_argument("--negative_prompt", type=str,
                    default="monochrome, lowres, bad anatomy, worst quality, low quality")
+    p.add_argument("--fused", action="store_true",
+                   help="run masks+pose-render+generation as ONE XLA program "
+                        "(pose keypoints still detected by the pose program)")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--guidance", type=float, default=3.5)
     p.add_argument("--seed", type=int, default=0)
@@ -221,7 +224,23 @@ def main(argv=None):
     c1 = load_image_512(args.clothes1).astype(np.float32) / 255.0
     c2 = load_image_512(args.clothes2).astype(np.float32) / 255.0
 
-    out = system(subject, c1, c2, ids, neg, args.steps, args.guidance, args.seed)
+    if args.fused:
+        from edgestyle_tpu.pipelines.full import FusedTryOn
+
+        kps = []
+        for img in (subject, c1, c2):
+            kp, _ = system.detect_pose(img)
+            kps.append(kp if kp is not None else np.full((18, 2), np.nan, np.float32))
+        fused = FusedTryOn(system.preproc, system.pipe)
+        params = {**system.sam_params, "gen": system.gen_params}
+        out = np.asarray(fused(
+            params, jnp.asarray(subject), jnp.asarray(c1), jnp.asarray(c2),
+            jnp.asarray(np.stack(kps), jnp.float32), ids, neg,
+            jax.random.key(args.seed), num_inference_steps=args.steps,
+            guidance_scale=args.guidance,
+        )[0])
+    else:
+        out = system(subject, c1, c2, ids, neg, args.steps, args.guidance, args.seed)
     from PIL import Image
 
     Image.fromarray((out * 255).astype(np.uint8)).save(args.out)
