@@ -59,9 +59,10 @@ class FullLayerNorm(nn.Module):
         b, h, w, c = x.shape
         scale = self.param("scale", nn.initializers.ones, (h, w, c), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (h, w, c), jnp.float32)
+        from edgestyle_tpu.ops.norms import _moments, _use_fast
+
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+        mean, var = _moments(xf, (1, 2, 3), fast=_use_fast(x))
         out = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
         return out.astype(x.dtype)
 

@@ -13,6 +13,28 @@ import jax
 import jax.numpy as jnp
 
 
+def _moments(xf: jax.Array, axes, fast: bool):
+    """(mean, var) over `axes` in fp32.
+
+    fast=True computes both from one read of x (mean of x and x² in a single
+    multi-output fusion → one fewer full HBM pass per norm); the E[x²]−E[x]²
+    cancellation is far below bf16 input quantization, so it is the default
+    for bf16 activations. fast=False is torch's two-pass form — bit-matched
+    for the fp32 golden-parity suite.
+    """
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    if fast:
+        m2 = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    else:
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+    return mean, var
+
+
+def _use_fast(x: jax.Array) -> bool:
+    return x.dtype == jnp.bfloat16
+
+
 def group_norm(
     x: jax.Array,
     scale: jax.Array,
@@ -32,8 +54,7 @@ def group_norm(
         raise ValueError(f"channels {c} not divisible by groups {num_groups}")
     b = x.shape[0]
     xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    mean, var = _moments(xf, (1, 3), fast=_use_fast(x))
     xf = (xf - mean) * jax.lax.rsqrt(var + eps)
     xf = xf.reshape(x.shape)
     out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
@@ -46,8 +67,7 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-
     """LayerNorm over the trailing axis with fp32 stats."""
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    mean, var = _moments(xf, -1, fast=_use_fast(x))
     out = (xf - mean) * jax.lax.rsqrt(var + eps)
     out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return out.astype(orig_dtype)

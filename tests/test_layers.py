@@ -48,6 +48,31 @@ def test_group_norm_matches_torch(rng):
     np.testing.assert_allclose(to_nchw(out), ref, atol=1e-5)
 
 
+def test_norm_fast_stats_matches_two_pass(rng):
+    """The bf16 fast path (single-pass E[x²]−E[x]² moments) must agree with
+    the two-pass fp32-parity form to well below bf16 quantization, even for
+    activations with mean >> std."""
+    from edgestyle_tpu.ops import norms
+
+    for shift in (0.0, 5.0, 50.0):
+        x = jnp.asarray(
+            rng.standard_normal((2, 8, 8, 64)).astype(np.float32) * 0.5 + shift
+        ).reshape(2, -1, 32, 2)
+        m_fast, v_fast = norms._moments(x, (1, 3), fast=True)
+        m_ref, v_ref = norms._moments(x, (1, 3), fast=False)
+        np.testing.assert_allclose(np.asarray(m_fast), np.asarray(m_ref), rtol=1e-6)
+        # fp32 cancellation grows with (mean/std)²; even at the extreme
+        # shift=50 (mean/std=100) it stays ~100× below bf16 input
+        # quantization at that ratio
+        rtol = 1e-6 if shift == 0.0 else 1e-2
+        np.testing.assert_allclose(
+            np.asarray(v_fast), np.asarray(v_ref), rtol=rtol, atol=1e-6
+        )
+    # dispatch: bf16 input takes the fast path, fp32 the parity path
+    assert norms._use_fast(jnp.zeros((1,), jnp.bfloat16))
+    assert not norms._use_fast(jnp.zeros((1,), jnp.float32))
+
+
 class TorchResnetBlock(torch.nn.Module):
     """diffusers ResnetBlock2D reproduced in plain torch (same op sequence:
     reference's substrate per SURVEY.md §2.1)."""
