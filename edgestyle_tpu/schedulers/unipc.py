@@ -50,6 +50,38 @@ class UniPCPlan:
         return self.timesteps.shape[0]
 
 
+def _solve_monomial(r, b):
+    """Solve R x = b where R[i, j] = r[j]**i, for n = len(r) ∈ {1, 2, 3},
+    in closed form (Cramer). `jnp.linalg.solve` lowers to an LU custom call
+    that costs ~1.3 ms per invocation on v5e via the tunnel — ~100% of the
+    scheduler's per-step time; these scalar expressions cost ~nothing and
+    are algebraically the same solution."""
+    n = len(r)
+    if n == 1:
+        return [b[0]]  # R = [[r0**0]] = [[1]]
+    if n == 2:
+        det = r[1] - r[0]
+        return [(r[1] * b[0] - b[1]) / det, (b[1] - r[0] * b[0]) / det]
+    if n == 3:
+        m = [[jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0)], r,
+             [r[0] * r[0], r[1] * r[1], r[2] * r[2]]]
+
+        def det3(a):
+            return (
+                a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+                - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+                + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0])
+            )
+
+        d = det3(m)
+        out = []
+        for j in range(3):
+            mj = [[b[i] if k == j else m[i][k] for k in range(3)] for i in range(3)]
+            out.append(det3(mj) / d)
+        return out
+    raise ValueError(f"unsupported system size {n}")
+
+
 def _b_coeffs(hh, B_h, K: int):
     """b_i = φ_{i+1}(hh)·i!·(i+1)!-ish recursion from the UniPC bh rule."""
     h_phi_1 = jnp.expm1(hh)
@@ -175,10 +207,7 @@ class UniPCScheduler:
             if order == 1:
                 rhos = [jnp.float32(0.5)]
             else:
-                rvec = jnp.stack(rks + [jnp.float32(1.0)])
-                R = jnp.stack([rvec**i for i in range(order)], axis=0)
-                rhos_arr = jnp.linalg.solve(R, jnp.stack(b[:order]))
-                rhos = [rhos_arr[j] for j in range(order)]
+                rhos = _solve_monomial(rks + [jnp.float32(1.0)], b[:order])
             corr = jnp.zeros_like(m0)
             for j in range(num_hist):
                 corr = corr + rhos[j] * d1s[j]
@@ -190,10 +219,7 @@ class UniPCScheduler:
             if num_hist == 1:
                 rhos = [jnp.float32(0.5)]
             else:
-                rvec = jnp.stack(rks)
-                R = jnp.stack([rvec**i for i in range(num_hist)], axis=0)
-                rhos_arr = jnp.linalg.solve(R, jnp.stack(b[:num_hist]))
-                rhos = [rhos_arr[j] for j in range(num_hist)]
+                rhos = _solve_monomial(rks, b[:num_hist])
             pred = jnp.zeros_like(m0)
             for j in range(num_hist):
                 pred = pred + rhos[j] * d1s[j]
