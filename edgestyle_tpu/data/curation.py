@@ -112,6 +112,21 @@ def find_missing_artifacts(root: str, artifacts: Sequence[str] = ARTIFACTS):
     return missing
 
 
+def find_empty_dirs(root: str) -> List[str]:
+    """Directories under root containing no files anywhere below them
+    (reference find_empty_dirs.sh). Returns paths relative to root,
+    deepest first, so callers can rmdir in order."""
+    empty: List[str] = []
+    for dirpath, dirnames, filenames in os.walk(root, topdown=False):
+        rel = os.path.relpath(dirpath, root)
+        if rel == ".":
+            continue
+        sub_empty = {os.path.join(rel, d) for d in dirnames}
+        if not filenames and sub_empty <= set(empty):
+            empty.append(rel)
+    return empty
+
+
 def remove_incomplete_frames(root: str, artifacts: Sequence[str] = ARTIFACTS) -> int:
     """Delete every artifact of frames flagged by find_missing_artifacts."""
     removed = 0

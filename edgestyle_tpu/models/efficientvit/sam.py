@@ -379,6 +379,115 @@ def postprocess_masks(masks: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
 
 
 # --------------------------------------------------------------------------
+# Automatic mask generation (reference EfficientViTSamAutomaticMaskGenerator,
+# /root/reference/efficientvit/models/efficientvit/sam.py:460-514: uniform
+# point grid → batched multimask decode → IoU/stability filtering → NMS).
+# TPU-first split: the heavy part (one image encode + all grid-point decodes,
+# chunked through lax.map so activations stay bounded) is ONE jittable
+# program with static shapes; the cheap data-dependent tail (threshold
+# filtering + greedy NMS over ≤ a few hundred candidates) runs host-side in
+# numpy, as it does in the reference.
+# --------------------------------------------------------------------------
+
+def build_point_grid(points_per_side: int, prompt_input_size: int = 1024) -> jax.Array:
+    """Uniform cell-centered grid over the image in the prompt frame:
+    (points_per_side², 1, 2) xy coords (reference build_point_grid
+    semantics: offset half a cell from the borders)."""
+    step = 1.0 / points_per_side
+    xs = (jnp.arange(points_per_side, dtype=jnp.float32) + 0.5) * step
+    gx, gy = jnp.meshgrid(xs, xs, indexing="xy")
+    pts = jnp.stack([gx.ravel(), gy.ravel()], axis=-1) * prompt_input_size
+    return pts[:, None, :]
+
+
+def stability_score(mask_logits: jax.Array, mask_threshold: float = 0.0,
+                    offset: float = 1.0) -> jax.Array:
+    """SAM stability score: IoU between the binarizations at
+    threshold±offset (ratio of the tight to the loose mask area)."""
+    f = mask_logits.astype(jnp.float32)
+    inter = jnp.sum(f > (mask_threshold + offset), axis=(-2, -1))
+    union = jnp.sum(f > (mask_threshold - offset), axis=(-2, -1))
+    return inter / jnp.maximum(union, 1)
+
+
+def automatic_mask_candidates(
+    sam: "EfficientViTSam",
+    variables,
+    image: jax.Array,
+    points_per_side: int = 16,
+    chunk: int = 64,
+):
+    """One image (1,H,W,3, preprocessed) → all grid-point mask candidates.
+
+    Returns (masks_bool (N*3, 256, 256), iou (N*3,), stability (N*3,)) with
+    N = points_per_side². Jit-safe: fixed grid, fixed chunking, boolean
+    masks (not logits) so the host transfer is 8× smaller. Feed the result
+    to `select_auto_masks` for the reference's filtering/NMS tail."""
+    emb = sam.apply(variables, image, method=sam.encode_image)
+    pts = build_point_grid(points_per_side, sam.cfg.prompt_input_size)
+    n = pts.shape[0]
+    chunk = min(chunk, n)
+    if n % chunk:
+        raise ValueError(f"points_per_side²={n} not divisible by chunk={chunk}")
+
+    def decode_chunk(p):  # p: (chunk, 1, 2)
+        e = jnp.broadcast_to(emb, (chunk,) + emb.shape[1:])
+        lbl = jnp.ones((chunk, 1), jnp.int32)
+        masks, iou = sam.apply(variables, e, p, lbl, True, method=sam.decode)
+        return masks > 0.0, iou, stability_score(masks)
+
+    masks, iou, stab = jax.lax.map(decode_chunk, pts.reshape(-1, chunk, 1, 2))
+    m = masks.shape[-3]
+    return (
+        masks.reshape(n * m, masks.shape[-2], masks.shape[-1]),
+        iou.reshape(n * m),
+        stab.reshape(n * m),
+    )
+
+
+def select_auto_masks(
+    masks,
+    iou,
+    stability,
+    pred_iou_thresh: float = 0.88,
+    stability_thresh: float = 0.95,
+    nms_iou: float = 0.7,
+    min_area: int = 0,
+):
+    """Host-side tail of automatic mask generation: threshold on predicted
+    IoU + stability, then greedy mask-IoU NMS in descending predicted-IoU
+    order. Returns a list of {segmentation, predicted_iou, stability_score}
+    dicts (reference generator output schema)."""
+    import numpy as np
+
+    masks = np.asarray(masks)
+    iou = np.asarray(iou, np.float32)
+    stability = np.asarray(stability, np.float32)
+    areas = masks.reshape(masks.shape[0], -1).sum(-1)
+    keep = (iou >= pred_iou_thresh) & (stability >= stability_thresh) & (areas > min_area)
+    order = np.argsort(-iou)
+    order = order[keep[order]]
+    out = []
+    for idx in order:
+        m = masks[idx]
+        dup = False
+        for prev in out:
+            p = prev["segmentation"]
+            inter = np.logical_and(m, p).sum()
+            union = np.logical_or(m, p).sum()
+            if union and inter / union > nms_iou:
+                dup = True
+                break
+        if not dup:
+            out.append({
+                "segmentation": m,
+                "predicted_iou": float(iou[idx]),
+                "stability_score": float(stability[idx]),
+            })
+    return out
+
+
+# --------------------------------------------------------------------------
 # Weight porting: upstream EfficientViT-SAM checkpoints (han-cai l0/l1/l2 +
 # the four finetuned EdgeStyle decoders) → our param trees. Torch naming
 # follows the reference module structure (OpSequential `op_list`,

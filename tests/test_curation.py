@@ -100,3 +100,18 @@ def test_inspect_dataset_grid(tmp_path, rng):
     )
     with Image.open(out) as im:
         assert im.size == (512, 6 * 512)
+
+
+def test_find_empty_dirs(tmp_path):
+    from edgestyle_tpu.data.curation import find_empty_dirs
+
+    os.makedirs(tmp_path / "a" / "b")          # nested, both empty
+    os.makedirs(tmp_path / "c")
+    (tmp_path / "c" / "x.jpg").write_bytes(b"d")
+    os.makedirs(tmp_path / "d" / "e")          # d empty only via e
+    empty = find_empty_dirs(str(tmp_path))
+    assert set(empty) == {os.path.join("a", "b"), "a",
+                          os.path.join("d", "e"), "d"}
+    # deepest-first ordering lets callers rmdir in sequence
+    for rel in empty:
+        os.rmdir(tmp_path / rel)

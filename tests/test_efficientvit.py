@@ -126,3 +126,45 @@ def test_tiny_sam_end_to_end_jit(rng):
     assert masks.shape == (1, 3, 256, 256)
     assert np.isfinite(np.asarray(masks)).all()
     assert np.isfinite(np.asarray(iou)).all()
+
+
+def test_automatic_mask_generation_tiny(rng):
+    """Grid-prompt auto-mask path (reference automatic mask generator,
+    efficientvit sam.py:460-514): one encode, chunked batched decodes,
+    host-side filtering/NMS."""
+    import jax
+
+    from edgestyle_tpu.models.efficientvit.sam import (
+        automatic_mask_candidates,
+        build_point_grid,
+        select_auto_masks,
+        stability_score,
+    )
+
+    pts = build_point_grid(4, 1024)
+    assert pts.shape == (16, 1, 2)
+    assert float(pts.min()) > 0 and float(pts.max()) < 1024
+
+    logits = jnp.asarray(rng.standard_normal((2, 3, 8, 8)), jnp.float32) * 5
+    s = stability_score(logits)
+    assert s.shape == (2, 3) and (np.asarray(s) <= 1.0).all()
+
+    cfg = SamConfig(backbone=TINY_BB, neck_depth=1, image_size=64)
+    sam = EfficientViTSam(cfg)
+    img = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    params = sam.init(
+        jax.random.key(0), img, jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32)
+    )
+    f = jax.jit(lambda v, im: automatic_mask_candidates(
+        sam, v, im, points_per_side=2, chunk=4))
+    masks, iou, stab = f(params, img)
+    assert masks.shape == (12, 256, 256) and masks.dtype == jnp.bool_
+    assert iou.shape == (12,) and stab.shape == (12,)
+    assert np.isfinite(np.asarray(iou)).all()
+
+    picked = select_auto_masks(masks, iou, stab,
+                               pred_iou_thresh=-10.0, stability_thresh=0.0)
+    assert len(picked) >= 1
+    for r in picked:
+        assert r["segmentation"].shape == (256, 256)
+        assert set(r) == {"segmentation", "predicted_iou", "stability_score"}
