@@ -31,9 +31,42 @@ def parse_args(argv=None):
     p.add_argument("--vae", type=str, default=None)
     p.add_argument("--openpose_controlnet", type=str, default=None)
     p.add_argument("--edgestyle_checkpoint", type=str, default=None)
+    p.add_argument("--tokenizer_dir", type=str, default=None,
+                   help="CLIP tokenizer files (vocab.json/merges.txt); without "
+                        "it prompts fall back to the BOS/EOS empty encoding")
+    p.add_argument("--clip_model", type=str, default=None,
+                   help="full CLIPModel dir enabling per-request prompt mining "
+                        "from the clothes image (reference app.py:163)")
+    p.add_argument("--prompt", type=str, default=None,
+                   help="default prompt; per-request 'prompt' overrides. None → "
+                        "mined (with --clip_model) or empty prompt")
+    p.add_argument("--negative_prompt", type=str,
+                   default="monochrome, lowres, bad anatomy, worst quality, low quality")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--guidance", type=float, default=3.5)
     return p.parse_args(argv)
+
+
+def encode_prompts(tokenizer, miner, prompt, negative, clothes01):
+    """(prompt_ids, negative_ids) for one request.
+
+    No tokenizer → proper empty-prompt BOS/EOS encoding (NOT zeros: token 0
+    is '!' in the CLIP vocab — ADVICE r1 medium). No explicit prompt but a
+    miner → zero-shot mine from the clothes image, like the reference app.
+    """
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.data.tokenizer import empty_prompt_ids
+
+    if tokenizer is None:
+        e = jnp.asarray(empty_prompt_ids())
+        return e, e
+    if prompt is None and miner is not None:
+        prompt = miner(clothes01[None])[0]
+    return (
+        jnp.asarray(tokenizer([prompt or ""])),
+        jnp.asarray(tokenizer([negative or ""])),
+    )
 
 
 def _png(arr01: np.ndarray) -> bytes:
@@ -55,7 +88,10 @@ def _read_image(data: bytes) -> np.ndarray:
 
 class TryOnHandler(BaseHTTPRequestHandler):
     system = None  # injected
-    defaults = {"steps": 20, "guidance": 3.5}
+    tokenizer = None
+    miner = None
+    defaults = {"steps": 20, "guidance": 3.5, "prompt": None,
+                "negative_prompt": ""}
     lock = threading.Lock()
 
     def log_message(self, *a):  # quiet
@@ -89,12 +125,14 @@ class TryOnHandler(BaseHTTPRequestHandler):
             steps = int(payload.get("steps", self.defaults["steps"]))
             guidance = float(payload.get("guidance", self.defaults["guidance"]))
             seed = int(payload.get("seed", 0))
+            prompt = payload.get("prompt", self.defaults["prompt"])
+            negative = payload.get(
+                "negative_prompt", self.defaults["negative_prompt"]
+            )
 
-            import jax.numpy as jnp
-
-            ids = jnp.zeros((1, 77), jnp.int32)
+            ids, neg = encode_prompts(self.tokenizer, self.miner, prompt, negative, c1)
             with self.lock:  # one generation at a time on the single chip
-                out = self.system(subject, c1, c2, ids, ids, steps, guidance, seed)
+                out = self.system(subject, c1, c2, ids, neg, steps, guidance, seed)
             body = _png(out)
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
@@ -110,10 +148,29 @@ class TryOnHandler(BaseHTTPRequestHandler):
             self.wfile.write(body)
 
 
+def _build_prompt_stack(args):
+    tokenizer = miner = None
+    if getattr(args, "tokenizer_dir", None):
+        from edgestyle_tpu.data.tokenizer import CLIPTokenizer
+
+        tokenizer = CLIPTokenizer.from_pretrained_dir(args.tokenizer_dir)
+        if getattr(args, "clip_model", None):
+            from edgestyle_tpu.data.prompts import build_prompt_miner
+
+            miner = build_prompt_miner(args.tokenizer_dir, args.clip_model)
+    return tokenizer, miner
+
+
 def build_server(args, system) -> ThreadingHTTPServer:
     handler = TryOnHandler
     handler.system = system
-    handler.defaults = {"steps": args.steps, "guidance": args.guidance}
+    handler.tokenizer, handler.miner = _build_prompt_stack(args)
+    handler.defaults = {
+        "steps": args.steps,
+        "guidance": args.guidance,
+        "prompt": getattr(args, "prompt", None),
+        "negative_prompt": getattr(args, "negative_prompt", ""),
+    }
     return ThreadingHTTPServer((args.host, args.port), handler)
 
 
@@ -142,19 +199,21 @@ def main(argv=None):
 def _launch_gradio(args, system):  # pragma: no cover — gradio not in image
     import gradio as gr
 
-    def try_on(subject, c1, c2, steps, guidance, seed):
-        import jax.numpy as jnp
+    tokenizer, miner = _build_prompt_stack(args)
 
-        ids = jnp.zeros((1, 77), jnp.int32)
+    def try_on(subject, c1, c2, prompt, negative, steps, guidance, seed):
         s = np.asarray(subject, np.float32) / 255.0
         a = np.asarray(c1, np.float32) / 255.0
         b = np.asarray(c2, np.float32) / 255.0
-        out = system(s, a, b, ids, ids, int(steps), float(guidance), int(seed))
+        ids, neg = encode_prompts(tokenizer, miner, prompt or None, negative, a)
+        out = system(s, a, b, ids, neg, int(steps), float(guidance), int(seed))
         return (out * 255).astype(np.uint8)
 
     demo = gr.Interface(
         try_on,
         [gr.Image(), gr.Image(), gr.Image(),
+         gr.Textbox(value=args.prompt or "", label="prompt (empty = mined)"),
+         gr.Textbox(value=args.negative_prompt, label="negative prompt"),
          gr.Slider(1, 50, value=args.steps, label="steps"),
          gr.Slider(1.0, 12.0, value=args.guidance, label="guidance"),
          gr.Number(value=0, label="seed")],

@@ -49,7 +49,11 @@ def parse_args(argv=None):
     p.add_argument("--proportion_patchworked_images", type=float, default=0.0)
     p.add_argument("--proportion_cutout_images", type=float, default=0.0)
     p.add_argument("--proportion_patchworks", type=float, default=0.0)
-    p.add_argument("--use_agnostic_images", action="store_true", default=True)
+    # BooleanOptionalAction so --no-use_agnostic_images can reach the
+    # implemented head-branch path (ADVICE r1: store_true+default=True was
+    # un-disablable).
+    p.add_argument("--use_agnostic_images", action=argparse.BooleanOptionalAction,
+                   default=True)
     # optimization (reference recipe: prodigy lr 1.0, snr_gamma 5)
     p.add_argument("--optimizer", type=str, default="prodigy", choices=["prodigy", "adamw"])
     p.add_argument("--learning_rate", type=float, default=1.0)
@@ -72,6 +76,20 @@ def parse_args(argv=None):
     if args.resolution % 8 != 0:
         p.error("resolution must be divisible by 8")  # train...py:640-643
     return args
+
+
+def check_batch_divisible(train_batch_size: int, device_count: int) -> None:
+    """The micro-batch axis is sharded over the data mesh axis
+    (P(None, 'data')), so it must divide evenly — otherwise device_put
+    errors opaquely at the first batch (ADVICE r1)."""
+    if train_batch_size % device_count != 0:
+        raise SystemExit(
+            f"--train_batch_size ({train_batch_size}) must be divisible by "
+            f"the device count ({device_count}): each device takes "
+            f"train_batch_size/device_count samples of every micro-batch. "
+            f"Raise --train_batch_size or lower "
+            f"--gradient_accumulation_steps to keep the sample budget."
+        )
 
 
 def main(argv=None):
@@ -144,6 +162,7 @@ def main(argv=None):
         )
 
     # data parallel placement
+    check_batch_divisible(args.train_batch_size, jax.device_count())
     mesh = make_mesh(MeshSpec(data=jax.device_count()))
     repl = replicated(mesh)
     batch_sh = NamedSharding(mesh, P(None, "data"))

@@ -32,9 +32,14 @@ def parse_args(argv=None):
     p.add_argument("--sam_checkpoint", type=str, default=None)
     p.add_argument("--bodypose_checkpoint", type=str, default=None)
     p.add_argument("--tokenizer_dir", type=str, default=None)
+    p.add_argument("--clip_model", type=str, default=None,
+                   help="openai/clip-vit-large-patch14-layout dir (full dual-tower "
+                        "CLIPModel weights) enabling prompt mining")
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--prompt", type=str, default=None,
-                   help="default: mined from the clothes image when CLIP vision weights are available")
+                   help="default: mined from the clothes1 image when BOTH "
+                        "--tokenizer_dir and --clip_model are given "
+                        "(reference app.py:163); otherwise the empty prompt")
     p.add_argument("--negative_prompt", type=str,
                    default="monochrome, lowres, bad anatomy, worst quality, low quality")
     p.add_argument("--fused", action="store_true",
@@ -210,19 +215,28 @@ def main(argv=None):
 
     system = TryOnSystem(random_init=args.random_init, args=args)
 
+    subject = load_image_512(args.subject).astype(np.float32) / 255.0
+    c1 = load_image_512(args.clothes1).astype(np.float32) / 255.0
+    c2 = load_image_512(args.clothes2).astype(np.float32) / 255.0
+
     if args.tokenizer_dir:
         from edgestyle_tpu.data.tokenizer import CLIPTokenizer
 
         tok = CLIPTokenizer.from_pretrained_dir(args.tokenizer_dir)
-        ids = jnp.asarray(tok([args.prompt or "edgestyle"]))
+        prompt = args.prompt
+        if prompt is None and args.clip_model:
+            from edgestyle_tpu.data.prompts import build_prompt_miner
+
+            miner = build_prompt_miner(args.tokenizer_dir, args.clip_model)
+            prompt = miner(c1[None])[0]
+            print(f"mined prompt: {prompt}")
+        ids = jnp.asarray(tok([prompt or ""]))
         neg = jnp.asarray(tok([args.negative_prompt]))
     else:
-        ids = jnp.zeros((1, 77), jnp.int32)
-        neg = jnp.zeros((1, 77), jnp.int32)
+        from edgestyle_tpu.data.tokenizer import empty_prompt_ids
 
-    subject = load_image_512(args.subject).astype(np.float32) / 255.0
-    c1 = load_image_512(args.clothes1).astype(np.float32) / 255.0
-    c2 = load_image_512(args.clothes2).astype(np.float32) / 255.0
+        ids = jnp.asarray(empty_prompt_ids())
+        neg = jnp.asarray(empty_prompt_ids())
 
     if args.fused:
         from edgestyle_tpu.pipelines.full import FusedTryOn

@@ -49,6 +49,41 @@ def load_clip_text_params(path: str, num_layers: int = 12) -> Dict:
     return porting.unflatten(port_clip_text_state_dict(sd, num_layers))
 
 
+def load_clip_model_params(
+    path: str, text_layers: int = 12, vision_layers: int = 24
+) -> Dict:
+    """Full CLIPModel checkpoint (openai/clip-vit-large-patch14 layout,
+    dual tower + projections — the reference's prompt-mining model,
+    inference.py:98-99) → {"text": ..., "vision": ...} params for
+    CLIPTextModelWithProjection / CLIPVisionModelWithProjection."""
+    from edgestyle_tpu.models.clip_text import port_clip_text_state_dict
+    from edgestyle_tpu.models.clip_vision import port_clip_vision_state_dict
+
+    sd = porting.load_safetensors(_find_weights(path))
+    text_flat = {
+        "text_model." + k: v
+        for k, v in port_clip_text_state_dict(
+            {k: v for k, v in sd.items() if k.startswith("text_model.")},
+            text_layers,
+        ).items()
+    }
+    text_flat["text_projection.kernel"] = porting.linear_kernel(
+        sd["text_projection.weight"]
+    )
+    vision_flat = port_clip_vision_state_dict(
+        {
+            k: v
+            for k, v in sd.items()
+            if k.startswith(("vision_model.", "visual_projection"))
+        },
+        vision_layers,
+    )
+    return {
+        "text": porting.unflatten(text_flat),
+        "vision": porting.unflatten(vision_flat),
+    }
+
+
 def load_unet_params(path: str) -> Dict:
     from edgestyle_tpu.models.unet import port_unet_state_dict
 

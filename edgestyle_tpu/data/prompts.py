@@ -103,6 +103,50 @@ class BestEmbeddings:
         return prompts
 
 
+class PromptMiner:
+    """App-facing wrapper: raw [0,1] images → trigger prompts.
+
+    Owns the tokenizer so callers can also encode the mined prompt
+    (reference app.py:163: BestEmbeddings([clothes]) feeds the pipeline)."""
+
+    def __init__(self, tokenizer, best: BestEmbeddings):
+        self.tokenizer = tokenizer
+        self.best = best
+
+    def __call__(self, images01) -> List[str]:
+        from edgestyle_tpu.models.clip_vision import clip_preprocess
+
+        return self.best.find_best(clip_preprocess(jnp.asarray(images01)))
+
+
+def build_prompt_miner(tokenizer_dir: str, clip_model_dir: str,
+                       dtype=jnp.float32) -> PromptMiner:
+    """Load openai/clip-vit-large-patch14-layout weights + tokenizer files
+    and assemble the zero-shot prompt miner."""
+    from edgestyle_tpu.core.pretrained import load_clip_model_params
+    from edgestyle_tpu.data.tokenizer import CLIPTokenizer
+    from edgestyle_tpu.models.clip_text import (
+        CLIPTextConfig,
+        CLIPTextModelWithProjection,
+    )
+    from edgestyle_tpu.models.clip_vision import (
+        CLIPVisionConfig,
+        CLIPVisionModelWithProjection,
+    )
+
+    tok = CLIPTokenizer.from_pretrained_dir(tokenizer_dir)
+    params = load_clip_model_params(clip_model_dir)
+    text_m = CLIPTextModelWithProjection(CLIPTextConfig(), dtype=dtype)
+    vis_m = CLIPVisionModelWithProjection(CLIPVisionConfig(), dtype=dtype)
+    encode_text = jax.jit(
+        lambda ids: text_m.apply({"params": params["text"]}, ids)["text_embeds"]
+    )
+    encode_image = jax.jit(
+        lambda px: vis_m.apply({"params": params["vision"]}, px)["image_embeds"]
+    )
+    return PromptMiner(tok, BestEmbeddings(tok, encode_image, encode_text))
+
+
 def clip_similarity(encode_image_fn, imgs_a, imgs_b) -> jax.Array:
     """Cosine similarity between two image batches — the dataset-pair
     filter (reference dataset_local.py:116-162, keep 0.80–0.90)."""

@@ -46,15 +46,46 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+# CLIP's canonical ids in the openai/clip-vit-large-patch14 vocab.
+CLIP_BOS_ID = 49406
+CLIP_EOS_ID = 49407
+
+
+def empty_prompt_ids(batch: int = 1, max_length: int = 77,
+                     bos: int = CLIP_BOS_ID, eos: int = CLIP_EOS_ID) -> np.ndarray:
+    """The empty-prompt encoding HF CLIPTokenizer('') produces: BOS, EOS,
+    then EOS padding. Use this when no tokenizer files are available —
+    all-zero ids would decode to '!' repeated (token 0), which is NOT an
+    empty prompt."""
+    out = np.full((batch, max_length), eos, np.int32)
+    out[:, 0] = bos
+    return out
+
+
+# CLIP's word-split pattern uses true Unicode letter/number classes
+# (\p{L}/\p{N}); stdlib `re` can't express those, so use the third-party
+# `regex` module (the same one HF/OpenAI use) with an ASCII fallback that
+# is exact for ASCII text.
+try:
+    import regex as _regex
+
+    _WORD_PATTERN = _regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover - regex is baked into this image
+    _WORD_PATTERN = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+        re.IGNORECASE,
+    )
+
+
 class CLIPTokenizer:
     """Byte-level BPE with CLIP's `</w>` word-end convention."""
 
-    PATTERN = re.compile(
-        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-        if False
-        else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-        re.IGNORECASE,
-    )
+    PATTERN = _WORD_PATTERN
 
     def __init__(self, vocab: Dict[str, int], merges: List[str], max_length: int = 77):
         self.encoder = dict(vocab)
@@ -128,7 +159,7 @@ class CLIPTokenizer:
     def encode(self, text: str) -> List[int]:
         text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
         ids: List[int] = []
-        for tok in re.findall(self.PATTERN, text):
+        for tok in self.PATTERN.findall(text):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(tok).split(" "))
         return ids
