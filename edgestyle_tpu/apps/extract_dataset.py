@@ -158,6 +158,9 @@ def main(argv=None):
     p.add_argument("--every_n", type=int, default=5)
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--random_init", action="store_true")
+    from edgestyle_tpu.apps.tryon import add_model_source_args
+
+    add_model_source_args(p)
     args = p.parse_args(argv)
 
     from edgestyle_tpu.core.cache import enable_persistent_cache

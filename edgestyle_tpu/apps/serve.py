@@ -27,10 +27,9 @@ def parse_args(argv=None):
     p.add_argument("--host", type=str, default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)  # reference Dockerfile:21
     p.add_argument("--random_init", action="store_true")
-    p.add_argument("--pretrained_model", type=str, default=None)
-    p.add_argument("--vae", type=str, default=None)
-    p.add_argument("--openpose_controlnet", type=str, default=None)
-    p.add_argument("--edgestyle_checkpoint", type=str, default=None)
+    from edgestyle_tpu.apps.tryon import add_model_source_args
+
+    add_model_source_args(p)
     p.add_argument("--tokenizer_dir", type=str, default=None,
                    help="CLIP tokenizer files (vocab.json/merges.txt); without "
                         "it prompts fall back to the BOS/EOS empty encoding")

@@ -20,17 +20,32 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 
+def add_model_source_args(p):
+    """Checkpoint-source flags shared by tryon/serve/extract_dataset
+    (the reference's model load surface, extract_dataset.py:44-58 +
+    app.py model dirs)."""
+    p.add_argument("--pretrained_model", type=str, default=None,
+                   help="HF-layout dir with unet/ and text_encoder/")
+    p.add_argument("--vae", type=str, default=None)
+    p.add_argument("--openpose_controlnet", type=str, default=None)
+    p.add_argument("--edgestyle_checkpoint", type=str, default=None)
+    p.add_argument("--sam_checkpoint", type=str, default=None,
+                   help="base EfficientViT-SAM l2 weights (.pt or .safetensors)")
+    p.add_argument("--sam_subject", type=str, default=None,
+                   help="finetuned subject-head checkpoint (full or decoder-only)")
+    p.add_argument("--sam_agnostic", type=str, default=None)
+    p.add_argument("--sam_clothes", type=str, default=None)
+    p.add_argument("--sam_head", type=str, default=None)
+    p.add_argument("--bodypose_checkpoint", type=str, default=None)
+    return p
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="EdgeStyle-TPU end-to-end try-on")
     p.add_argument("--subject", type=str, required=True)
     p.add_argument("--clothes1", type=str, required=True)
     p.add_argument("--clothes2", type=str, required=True)
-    p.add_argument("--pretrained_model", type=str, default=None)
-    p.add_argument("--vae", type=str, default=None)
-    p.add_argument("--openpose_controlnet", type=str, default=None)
-    p.add_argument("--edgestyle_checkpoint", type=str, default=None)
-    p.add_argument("--sam_checkpoint", type=str, default=None)
-    p.add_argument("--bodypose_checkpoint", type=str, default=None)
+    add_model_source_args(p)
     p.add_argument("--tokenizer_dir", type=str, default=None)
     p.add_argument("--clip_model", type=str, default=None,
                    help="openai/clip-vit-large-patch14-layout dir (full dual-tower "
@@ -99,18 +114,28 @@ class TryOnSystem:
             from edgestyle_tpu.core.pretrained import load_pipeline_params
             from edgestyle_tpu.models.openpose import port_bodypose_state_dict
 
-            sd = porting.load_safetensors(args.bodypose_checkpoint)
+            sd = porting.load_state_dict(args.bodypose_checkpoint)
             self.pose_params = porting.unflatten(port_bodypose_state_dict(sd))
-            self.sam_params = _load_sam_params(self.preproc, args.sam_checkpoint)
-            self.gen_params = load_pipeline_params(
-                args.pretrained_model, args.vae, args.openpose_controlnet,
-                edgestyle_checkpoint=args.edgestyle_checkpoint,
+            self.sam_params = _load_sam_params(
+                self.preproc, args.sam_checkpoint, sam_head_paths(args)
             )
-        self.gen_params = jax.tree.map(
-            lambda p: p.astype(jnp.bfloat16)
-            if getattr(p, "dtype", None) == jnp.float32 else p,
-            self.gen_params,
-        )
+            # generation weights are optional: extract_dataset only needs
+            # pose + SAM (reference extract_dataset.py loads no diffusion
+            # models at all)
+            self.gen_params = (
+                load_pipeline_params(
+                    args.pretrained_model, args.vae, args.openpose_controlnet,
+                    edgestyle_checkpoint=args.edgestyle_checkpoint,
+                )
+                if args.pretrained_model
+                else None
+            )
+        if self.gen_params is not None:
+            self.gen_params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if getattr(p, "dtype", None) == jnp.float32 else p,
+                self.gen_params,
+            )
 
     # -------------------------------------------------------------- pose
     def detect_pose(self, img01: np.ndarray) -> Tuple[Optional[np.ndarray], np.ndarray]:
@@ -198,11 +223,47 @@ class TryOnSystem:
         return self.generate(cond, prompt_ids, neg_ids, steps, guidance, seed)
 
 
-def _load_sam_params(preproc, ckpt_path):  # pragma: no cover - needs weights
-    raise NotImplementedError(
-        "porting EfficientViT-SAM .pt checkpoints requires the torch pickle; "
-        "use export via safetensors + models.efficientvit port mappers"
+def _load_sam_params(preproc, base_path, head_paths=None):
+    """Base EfficientViT-SAM checkpoint + optional finetuned per-head
+    checkpoints → TryOnPreprocessor params (the reference's five-model
+    load, extract_dataset.py:44-49).
+
+    Accepts .safetensors or torch-pickle state dicts in every layout the
+    reference produces: a full-model ``state_dict()``, a
+    ``{"state_dict": ...}`` wrapper, or a decoder-only save
+    (segmenter_training_*.py:463 ``torch.save(mask_decoder.state_dict())``).
+    Heads without a checkpoint reuse the base decoder.
+    """
+    import jax
+
+    from edgestyle_tpu.core import porting
+    from edgestyle_tpu.models.efficientvit.sam import port_sam_state_dict
+    from edgestyle_tpu.pipelines.preprocess import HEAD_NAMES
+
+    base = porting.unflatten(
+        port_sam_state_dict(porting.load_state_dict(base_path), preproc.cfg)
     )
+    decoders = {}
+    for name in HEAD_NAMES:
+        path = (head_paths or {}).get(name)
+        if not path:
+            decoders[name] = jax.tree.map(np.copy, base["mask_decoder"])
+            continue
+        sd = porting.load_state_dict(path)
+        if not any(k.startswith(("image_encoder.", "mask_decoder.")) for k in sd):
+            sd = {"mask_decoder." + k: v for k, v in sd.items()}  # decoder-only
+        tree = porting.unflatten(port_sam_state_dict(sd, preproc.cfg))
+        decoders[name] = tree["mask_decoder"]
+    return {"sam": base, "decoders": decoders}
+
+
+def sam_head_paths(args) -> dict:
+    return {
+        "subject": getattr(args, "sam_subject", None),
+        "agnostic": getattr(args, "sam_agnostic", None),
+        "clothes": getattr(args, "sam_clothes", None),
+        "head": getattr(args, "sam_head", None),
+    }
 
 
 def main(argv=None):

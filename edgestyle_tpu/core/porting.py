@@ -36,6 +36,43 @@ def load_torch_state_dict(module) -> StateDict:
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
 
 
+def load_torch_checkpoint(path: str) -> StateDict:
+    """torch .pt/.pth/.ckpt pickle → numpy state dict.
+
+    Handles the layouts the reference saves (efficientvit
+    network.py:69-74 load, segmenter_training_*.py:463-464 save): a raw
+    ``state_dict()`` or a dict wrapping one under ``"state_dict"``.
+    Weights-only unpickling — full-module pickles (which would need the
+    original torch classes importable) are rejected with a clear error.
+    """
+    import torch
+
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        raise ValueError(
+            f"{path}: not a weights-only torch checkpoint ({e}). If this is "
+            "a pickled nn.Module, run torch.save(module.state_dict(), ...) "
+            "in an env with the original classes, or convert with "
+            "python -m edgestyle_tpu.apps.convert_checkpoint."
+        ) from e
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    if not isinstance(ckpt, dict):
+        raise ValueError(f"{path}: expected a state dict, got {type(ckpt)}")
+    out = {}
+    for k, v in ckpt.items():
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def load_state_dict(path: str) -> StateDict:
+    """Load a checkpoint by extension: .safetensors or torch pickle."""
+    if path.endswith(".safetensors"):
+        return load_safetensors(path)
+    return load_torch_checkpoint(path)
+
+
 def conv_kernel(w: Array) -> Array:
     """torch Conv2d weight (O, I, kH, kW) → flax (kH, kW, I, O)."""
     if w.ndim != 4:

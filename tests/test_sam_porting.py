@@ -85,9 +85,12 @@ def _torch_shape(flax_path: str, shape, is_convT: bool):
     return tuple(shape)
 
 
-def test_sam_port_bijection():
-    sam = EfficientViTSam(SAM_L2)
-    img = jnp.zeros((1, 512, 512, 3))
+def synthetic_torch_sd(cfg=SAM_L2, dtype=np.float32):
+    """Zero-filled upstream-torch-layout EfficientViTSam state dict for
+    ``cfg`` (shapes via eval_shape; shared by the bijection test and the
+    app checkpoint-loader test)."""
+    sam = EfficientViTSam(cfg)
+    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
     pts, lbl = boxes_to_points(jnp.zeros((1, 4)))
     tree = jax.eval_shape(sam.init, jax.random.key(0), img, pts, lbl)["params"]
     flat = porting.flatten(tree)
@@ -96,24 +99,28 @@ def test_sam_port_bijection():
     for path, leaf in flat.items():
         if path == "prompt_encoder.point_embeddings":
             for i in range(4):
-                sd[f"prompt_encoder.point_embeddings.{i}.weight"] = np.zeros((1, 256), np.float32)
+                sd[f"prompt_encoder.point_embeddings.{i}.weight"] = np.zeros((1, 256), dtype)
             continue
         if path == "prompt_encoder.not_a_point_embed":
-            sd["prompt_encoder.not_a_point_embed.weight"] = np.zeros((1, 256), np.float32)
+            sd["prompt_encoder.not_a_point_embed.weight"] = np.zeros((1, 256), dtype)
             continue
         if path == "prompt_encoder.no_mask_embed":
-            sd["prompt_encoder.no_mask_embed.weight"] = np.zeros((1, 256), np.float32)
+            sd["prompt_encoder.no_mask_embed.weight"] = np.zeros((1, 256), dtype)
             continue
         if path == "prompt_encoder.pe_gaussian":
             sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = np.zeros(
-                (2, 128), np.float32)
+                (2, 128), dtype)
             continue
         if path in ("mask_decoder.iou_token", "mask_decoder.mask_tokens"):
-            sd[path + ".weight"] = np.zeros(tuple(leaf.shape), np.float32)
+            sd[path + ".weight"] = np.zeros(tuple(leaf.shape), dtype)
             continue
         is_convT = "upscale_conv" in path
-        sd[_torch_name(path)] = np.zeros(_torch_shape(path, leaf.shape, is_convT), np.float32)
+        sd[_torch_name(path)] = np.zeros(_torch_shape(path, leaf.shape, is_convT), dtype)
+    return sd, flat
 
+
+def test_sam_port_bijection():
+    sd, flat = synthetic_torch_sd(SAM_L2)
     mapped = port_sam_state_dict(sd, SAM_L2)
     assert set(mapped) == set(flat), (
         sorted(set(flat) - set(mapped))[:6], sorted(set(mapped) - set(flat))[:6])
