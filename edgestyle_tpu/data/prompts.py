@@ -38,23 +38,58 @@ _COLOR_MODIFIERS = ["", "light ", "dark ", "bright "]
 COLORS: List[str] = [m + c for c in _BASE_COLORS for m in _COLOR_MODIFIERS]
 
 CLOTHING_ITEMS: List[str] = [
+    # tops
     "t-shirt", "shirt", "dress shirt", "polo shirt", "henley shirt", "flannel shirt",
-    "blouse", "tank top", "crop top", "tube top", "camisole", "bodysuit",
-    "sweater", "pullover", "turtleneck", "cardigan", "sweatshirt", "hoodie",
-    "zip-up hoodie", "fleece jacket", "vest", "sweater vest", "puffer vest",
-    "jacket", "denim jacket", "leather jacket", "bomber jacket", "blazer",
-    "suit jacket", "windbreaker", "raincoat", "trench coat", "overcoat", "parka",
-    "puffer jacket", "peacoat", "poncho", "cape", "kimono", "tunic",
+    "oxford shirt", "button-down shirt", "linen shirt", "silk shirt", "denim shirt",
+    "hawaiian shirt", "rugby shirt", "baseball tee", "ringer tee", "long sleeve shirt",
+    "short sleeve shirt", "graphic tee", "striped shirt", "plaid shirt", "peasant top",
+    "blouse", "ruffled blouse", "wrap top", "halter top", "off-shoulder top",
+    "one-shoulder top", "tank top", "crop top", "tube top", "camisole", "bodysuit",
+    "bustier", "corset top", "peplum top", "mesh top", "lace top", "sequin top",
+    # knitwear
+    "sweater", "pullover", "turtleneck", "mock neck sweater", "v-neck sweater",
+    "crewneck sweater", "cable knit sweater", "chunky knit sweater", "mohair sweater",
+    "cashmere sweater", "argyle sweater", "fair isle sweater", "cardigan",
+    "long cardigan", "cropped cardigan", "shrug", "bolero", "sweatshirt", "hoodie",
+    "zip-up hoodie", "cropped hoodie", "fleece pullover", "half-zip pullover",
+    "knit vest", "sweater vest",
+    # outerwear
+    "vest", "puffer vest", "quilted vest", "jacket", "denim jacket",
+    "leather jacket", "moto jacket", "bomber jacket", "varsity jacket",
+    "track jacket", "utility jacket", "field jacket", "shacket", "blazer",
+    "double-breasted blazer", "suit jacket", "tuxedo jacket", "windbreaker",
+    "anorak", "raincoat", "trench coat", "overcoat", "topcoat", "duster coat",
+    "wool coat", "wrap coat", "cocoon coat", "parka", "puffer jacket",
+    "down jacket", "quilted jacket", "peacoat", "duffle coat", "car coat",
+    "fur coat", "faux fur coat", "shearling jacket", "fleece jacket",
+    "softshell jacket", "ski jacket", "poncho", "cape", "cloak", "kimono",
+    "kaftan", "tunic", "smock",
+    # dresses & one-pieces
     "dress", "maxi dress", "midi dress", "mini dress", "sundress", "shirt dress",
-    "wrap dress", "slip dress", "cocktail dress", "evening gown", "jumpsuit",
-    "romper", "overalls", "dungarees",
-    "jeans", "skinny jeans", "ripped jeans", "trousers", "dress pants", "chinos",
-    "cargo pants", "joggers", "sweatpants", "leggings", "yoga pants",
-    "shorts", "denim shorts", "cargo shorts", "bermuda shorts",
+    "wrap dress", "slip dress", "sheath dress", "shift dress", "a-line dress",
+    "bodycon dress", "fit and flare dress", "sweater dress", "pinafore dress",
+    "halter dress", "strapless dress", "off-shoulder dress", "cocktail dress",
+    "evening gown", "ball gown", "lace dress", "sequin dress", "velvet dress",
+    "floral dress", "polka dot dress", "jumpsuit", "romper", "playsuit",
+    "overalls", "dungarees", "boiler suit", "co-ord set",
+    # bottoms
+    "jeans", "skinny jeans", "ripped jeans", "straight leg jeans", "bootcut jeans",
+    "flared jeans", "wide leg jeans", "boyfriend jeans", "mom jeans",
+    "high-waisted jeans", "trousers", "dress pants", "pleated trousers", "chinos",
+    "corduroy pants", "cargo pants", "joggers", "sweatpants", "track pants",
+    "leggings", "yoga pants", "palazzo pants", "culottes", "capri pants",
+    "paperbag pants", "leather pants", "shorts", "denim shorts", "cargo shorts",
+    "bermuda shorts", "bike shorts", "athletic shorts", "pleated shorts",
     "skirt", "mini skirt", "midi skirt", "maxi skirt", "pleated skirt",
-    "pencil skirt", "denim skirt",
-    "tracksuit", "sportswear", "jersey", "uniform", "pajamas", "bathrobe",
-    "swimsuit", "bikini", "swim trunks", "scarf", "tie", "bow tie",
+    "pencil skirt", "denim skirt", "wrap skirt", "a-line skirt", "tulle skirt",
+    "leather skirt", "slit skirt", "skort",
+    # sets, sport, sleep & swim
+    "suit", "tuxedo", "tracksuit", "sportswear", "jersey", "football jersey",
+    "basketball jersey", "uniform", "workwear", "scrubs", "pajamas", "nightgown",
+    "bathrobe", "loungewear", "swimsuit", "one-piece swimsuit", "bikini",
+    "swim trunks", "rash guard", "wetsuit", "leotard", "unitard",
+    # accessories worn on the torso
+    "scarf", "shawl", "pashmina", "tie", "bow tie", "suspenders", "apron",
 ]
 
 

@@ -132,7 +132,9 @@ def prodigy(
         new_d = jnp.maximum(new_d, d)  # monotone (growth_rate caps increase)
 
         def upd(m, v, p):
-            step_term = dlr * m / (jnp.sqrt(v) + d * eps)
+            # prodigyopt applies the param update AFTER updating d, so the
+            # eps term uses the NEW d while dlr keeps the old one
+            step_term = dlr * m / (jnp.sqrt(v) + new_d * eps)
             if weight_decay > 0.0 and decouple:
                 step_term = step_term + dlr * weight_decay * p
             return -step_term
