@@ -42,6 +42,16 @@ def tp_spec_for_path(path: str, ndim: int) -> P:
     return P()
 
 
+def shard_pipeline_frozen_tp(mesh: Mesh, frozen: Dict) -> Dict:
+    """Place the train step's frozen param set on a 2-D (data, model)
+    mesh: attention/FF kernels of the UNet / static ControlNet / VAE TP-
+    sharded over `model` (where they divide), everything else replicated.
+    Combined with batch P(None, 'data') and replicated trainables, GSPMD
+    emits BOTH collective families: per-block all-reduce over `model`
+    (megatron activations) and the gradient all-reduce over `data`."""
+    return {k: shard_params_tp(mesh, v) for k, v in frozen.items()}
+
+
 def shard_params_tp(mesh: Mesh, params: Dict) -> Dict:
     """Place params with TP shardings over `mesh` (replicated on `data`)."""
     from edgestyle_tpu.core.porting import flatten, unflatten

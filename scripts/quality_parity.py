@@ -76,14 +76,16 @@ def main():
     r32 = np.asarray(roundtrip(vae32), np.float32)
     r16 = np.asarray(roundtrip(vae16), np.float32)
     a, b = (jnp.asarray(r32) + 1) / 2, (jnp.asarray(r16) + 1) / 2
-    results["vae_roundtrip_ssim"] = round(float(ssim(a, b)), 5)
-    results["vae_roundtrip_psnr_db"] = round(float(psnr(a, b)), 2)
+    results["vae_roundtrip_ssim"] = round(float(jnp.mean(ssim(a, b))), 5)
+    results["vae_roundtrip_psnr_db"] = round(float(jnp.mean(psnr(a, b))), 2)
     print("vae:", results, flush=True)
 
     # ---- full try-on pair (shared fp32 params + noise)
-    # fp32 side = reference path (plain XLA attention); bf16 side = the
-    # production path (Pallas flash attention on) — the pair under test.
-    pipe32 = EdgeStylePipeline(PipelineConfig(dtype="float32"), attn_impl="xla")
+    # Both sides run the SAME program (flash attention on) so the pair
+    # isolates exactly the dtype effect. (fp32 with XLA attention OOMs the
+    # 16 GB HBM on the 4096² probs buffers; flash keeps them in VMEM. The
+    # flash-vs-XLA numeric agreement itself is pinned by tests/test_flash.)
+    pipe32 = EdgeStylePipeline(PipelineConfig(dtype="float32"), attn_impl="auto")
     pipe16 = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
     params = pipe32.init_params(jax.random.key(0))  # fp32 master weights
 
@@ -97,9 +99,11 @@ def main():
     o32 = run(pipe32)
     print(f"fp32 out std={o32.std():.4f}", flush=True)
     results["tryon_ssim_fp32_vs_bf16"] = round(
-        float(ssim(jnp.asarray(o32), jnp.asarray(o16))), 5
+        float(jnp.mean(ssim(jnp.asarray(o32), jnp.asarray(o16)))), 5
     )
-    results["tryon_psnr_db"] = round(float(psnr(jnp.asarray(o32), jnp.asarray(o16))), 2)
+    results["tryon_psnr_db"] = round(
+        float(jnp.mean(psnr(jnp.asarray(o32), jnp.asarray(o16)))), 2
+    )
     results["tryon_mae"] = round(float(np.abs(o32 - o16).mean()), 5)
     results["steps"] = args.steps
     results["px"] = args.px
