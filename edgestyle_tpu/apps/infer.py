@@ -90,8 +90,10 @@ def main(argv=None):
         ids = jnp.asarray(tok([args.prompt]))
         neg = jnp.asarray(tok([args.negative_prompt]))
     else:
-        ids = jnp.zeros((1, 77), jnp.int32)
-        neg = jnp.zeros((1, 77), jnp.int32)
+        from edgestyle_tpu.data.tokenizer import empty_prompt_ids
+
+        ids = jnp.asarray(empty_prompt_ids())
+        neg = jnp.asarray(empty_prompt_ids())
 
     fields = ["agnostic", "original_openpose", "clothes", "clothes_openpose",
               "clothes2", "clothes_openpose2"]
