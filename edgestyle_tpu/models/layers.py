@@ -82,9 +82,43 @@ class TimestepEmbedding(nn.Module):
         return h
 
 
+class _NormParams(nn.Module):
+    """Param-compatible stand-in for GroupNorm that only *declares* the
+    scale/bias so the norm can fuse across the module boundary into the
+    following conv (ops/fused_conv.py)."""
+
+    @nn.compact
+    def __call__(self, ch: int):
+        scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (ch,), jnp.float32)
+        return scale, bias
+
+
+class _Conv3x3Params(nn.Module):
+    """Param-compatible stand-in for nn.Conv(features, (3,3)) — same names,
+    shapes, and init — that exposes kernel/bias for the fused path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ResnetBlock2D(nn.Module):
     """diffusers ResnetBlock2D semantics: GN→silu→conv, (+time proj),
-    GN→silu→conv, skip (1x1 if channels change)."""
+    GN→silu→conv, skip (1x1 if channels change).
+
+    The GN→silu→3×3-conv chains go through ops.fused_conv.norm_act_conv3x3:
+    a fused Pallas kernel on TPU/bf16, the bit-compatible XLA composition
+    elsewhere. Param tree is unchanged from the nn.Conv/GroupNorm form."""
 
     out_channels: int
     eps: float = 1e-5
@@ -93,20 +127,24 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb: Optional[jax.Array] = None):
+        from edgestyle_tpu.ops.fused_conv import norm_act_conv3x3
+
         in_ch = x.shape[-1]
-        h = GroupNorm(num_groups=32, eps=self.eps, act="silu", name="norm1")(x)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1"
-        )(h)
+        g1, b1 = _NormParams(name="norm1")(in_ch)
+        k1, kb1 = _Conv3x3Params(self.out_channels, name="conv1")(in_ch)
+        h = norm_act_conv3x3(
+            x, g1, b1, k1, kb1, num_groups=32, eps=self.eps, dtype=self.dtype
+        )
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 jax.nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = GroupNorm(num_groups=32, eps=self.eps, act="silu", name="norm2")(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2"
-        )(h)
+        g2, b2 = _NormParams(name="norm2")(self.out_channels)
+        k2, kb2 = _Conv3x3Params(self.out_channels, name="conv2")(self.out_channels)
+        h = norm_act_conv3x3(
+            h, g2, b2, k2, kb2, num_groups=32, eps=self.eps, dtype=self.dtype
+        )
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h

@@ -92,7 +92,11 @@ class _GroupedPointwise(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (g,), jnp.float32)
         b, h, w, cin = x.shape
-        assert cin == g * self.in_per_group
+        if cin != g * self.in_per_group:
+            raise ValueError(
+                f"grouped 1x1 expects {g * self.in_per_group} input channels "
+                f"({self.features} groups x {self.in_per_group} per group), got {cin}"
+            )
         xr = x.reshape(b, h, w, g, self.in_per_group)
         k = kernel[0, 0].astype(self.dtype)  # (in_per_group, features)
         out = jnp.einsum("bhwgi,ig->bhwg", xr.astype(self.dtype), k)

@@ -86,3 +86,21 @@ def test_flash_backward_padded_head_dim(rng):
     for a, b_ in zip(g1, g2):
         assert a.shape == b_.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs mosaic lowering")
+def test_flash_boundary_no_layout_transposes():
+    """Regression guard for the round-1 'raw device arrays 10x slower'
+    finding. scripts/flash_boundary.py (round 2, real chip) showed raw and
+    compiler-produced operands time IDENTICALLY (427.7 vs 430.2 ms single
+    dispatch — the round-1 gap was a tunnel wall-clock artifact) and the
+    optimized HLO for raw params contains zero transposes and only a
+    handful of copies. Pin that: a layout regression would reintroduce
+    transposes/mass copies at the custom-call boundary."""
+    from edgestyle_tpu.ops.flash import flash_attention
+
+    q = jnp.zeros((2, 8, 1024, 40), jnp.bfloat16)
+    f = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale=0.158))
+    hlo = f.lower(q, q, q).compile().as_text()
+    assert hlo.count(" transpose(") == 0
+    assert hlo.count(" copy(") <= 6
