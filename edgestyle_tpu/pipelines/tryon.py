@@ -39,10 +39,20 @@ class PipelineConfig:
     unet: UNetConfig = UNetConfig()
     vae: VAEConfig = VAEConfig()
     clip: CLIPTextConfig = CLIPTextConfig()
-    num_branches: int = 6
-    # which branch positions take VAE-latent cond embeddings (ControlLoRA)
-    latent_branches: tuple = (0, 2, 4)
+    # branch pattern (reference CONTROLNET_PATTERN, train...py:63): integer
+    # id → that ControlLoRA instance (VAE-latent cond), None → the shared
+    # frozen conv-cond ControlNet. The reference's older 4-branch layout
+    # (inference.py:500-521, controlnet-0..3) is (0, None, 1, None).
+    pattern: tuple = (0, None, 1, None, 1, None)
     dtype: str = "bfloat16"
+
+    @property
+    def num_branches(self) -> int:
+        return len(self.pattern)
+
+    @property
+    def latent_branches(self) -> tuple:
+        return tuple(p for p, pid in enumerate(self.pattern) if pid is not None)
 
     @property
     def jnp_dtype(self):
@@ -65,7 +75,9 @@ class EdgeStylePipeline:
         self.vae = AutoencoderKL(cfg.vae, dtype=dt)
         self.clip = CLIPTextEncoder(cfg.clip, dtype=dt)
         self.unet = SD15UNet(cfg.unet, dtype=dt, attn_impl=attn_impl)
-        self.mcn = EdgeStyleMultiControlNet(cfg.unet, dtype=dt, attn_impl=attn_impl)
+        self.mcn = EdgeStyleMultiControlNet(
+            cfg.unet, pattern=cfg.pattern, dtype=dt, attn_impl=attn_impl
+        )
         self.scheduler = UniPCScheduler(NoiseSchedule.sd15())
         self.vae_downscale = 2 ** (len(cfg.vae.block_out_channels) - 1)
 
@@ -106,19 +118,21 @@ class EdgeStylePipeline:
         heads = {kk: v for kk, v in static_p.items() if kk.startswith("controlnet_")}
         trunk = split_trunk_params(unet_p)
         lora_init = jax.jit(lambda r: init_lora_params(r, trunk, rank=32))
-        lora0 = lora_init(k[5])
-        lora1 = lora_init(k[6])
         fusion = self.mcn.init_fusion(k[7], sample_hw=(lat_hw, lat_hw))
+        controlnet = {"static": static_p, "fusion": fusion}
+        lora_keys = sorted(
+            {g.params_key for g in self.mcn.groups if g.kind == "lora"}
+        )
+        for i, key in enumerate(jax.random.split(k[5], max(len(lora_keys), 1))):
+            if i < len(lora_keys):
+                controlnet[lora_keys[i]] = controllora_params(
+                    unet_p, lora_init(key), heads
+                )
         return {
             "vae": vae_p,
             "clip": clip_p,
             "unet": unet_p,
-            "controlnet": {
-                "static": static_p,
-                "lora_0": controllora_params(unet_p, lora0, heads),
-                "lora_1": controllora_params(unet_p, lora1, heads),
-                "fusion": fusion,
-            },
+            "controlnet": controlnet,
         }
 
     # ------------------------------------------------------------------

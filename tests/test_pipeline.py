@@ -127,3 +127,21 @@ def test_check_inputs_validation(pipe_and_params, rng):
     with pytest.raises(ValueError, match="latents"):
         pipe(params, ids, neg, imgs, latents=jnp.zeros((1, 8, 8, 4)),
              num_inference_steps=1)
+
+
+def test_four_branch_legacy_pattern(rng):
+    """The reference's older 4-branch layout (inference.py:500-521,
+    controlnet-0..3 = pattern (0, None, 1, None)) runs through the same
+    pipeline via PipelineConfig.pattern."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_PIPE, pattern=(0, None, 1, None))
+    assert cfg.num_branches == 4 and cfg.latent_branches == (0, 2)
+    pipe = EdgeStylePipeline(cfg, attn_impl="xla")
+    params = pipe.init_params(jax.random.key(0))
+    assert set(params["controlnet"]) == {"static", "fusion", "lora_0", "lora_1"}
+    ids, neg, imgs = _inputs(rng)
+    out = pipe(params, ids, neg, imgs[:4], rng=jax.random.key(1),
+               num_inference_steps=2, guidance_scale=3.5)
+    img = np.asarray(jax.tree.leaves(out)[0])
+    assert np.isfinite(img).all() and img.min() >= 0.0 and img.max() <= 1.0
