@@ -41,3 +41,21 @@ def test_flop_report(rng):
     a = jnp.ones((64, 64))
     rep = flop_report(f, a, a)
     assert rep["flops"] > 0
+
+
+def test_export_cli_tiny(tmp_path):
+    """apps/export.py end-to-end on the tiny stack: denoise-step graph
+    (MCN+UNet+CFG, reference OnnxUNetAndControlnets) + VAE enc/dec, each
+    reloaded with a numeric parity assert inside export_program."""
+    from edgestyle_tpu.apps.export import main
+    from tests.test_pipeline import TINY_PIPE
+
+    report = main(
+        ["--output_dir", str(tmp_path), "--random_init", "--what", "all",
+         "--dtype", "float32"],
+        config=TINY_PIPE,
+    )
+    for name in ("unet_controlnet", "vae_encoder", "vae_decoder"):
+        assert (tmp_path / f"{name}.stablehlo").exists()
+        assert report[name]["flops"] > 0
+    assert (tmp_path / "flops.json").exists()

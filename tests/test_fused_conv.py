@@ -114,3 +114,22 @@ def test_custom_vjp_matches_reference_grads():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-4)
     finally:
         fc._FORCE_INTERPRET = False
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs mosaic lowering")
+def test_pallas_matches_xla_on_chip():
+    """Opt-in kernel parity at a real trunk shape on the TPU (bf16): the
+    compiled kernel must agree with the XLA chain to bf16 rounding."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 320)), jnp.bfloat16)
+    gamma = jnp.asarray(rng.standard_normal(320), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(320), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 320, 320)) * 0.02, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(320), jnp.float32)
+    ref = jax.jit(lambda *a: fc._reference(*a, 32, 1e-5, jnp.bfloat16))(
+        x, gamma, beta, k, bias)
+    out = jax.jit(lambda *a: fc._fused(*a, 32, 1e-5, jnp.bfloat16))(
+        x, gamma, beta, k, bias)
+    diff = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    scale = np.abs(np.asarray(ref, np.float32)).max()
+    assert diff.max() <= 0.02 * scale
