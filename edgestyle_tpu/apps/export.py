@@ -38,7 +38,8 @@ def parse_args(argv=None):
     p.add_argument("--openpose_controlnet", type=str, default=None)
     p.add_argument("--edgestyle_checkpoint", type=str, default=None)
     p.add_argument("--random_init", action="store_true")
-    p.add_argument("--what", choices=("all", "unet_controlnet", "vae"), default="all")
+    p.add_argument("--what", choices=("all", "unet_controlnet", "vae", "text_cond"),
+                   default="all")
     p.add_argument("--batch", type=int, default=1,
                    help="logical batch; the denoise graph takes 2B (CFG), "
                         "matching the reference's dynamic-batch export intent")
@@ -106,10 +107,9 @@ def main(argv=None, config=None):
         # the app's CFG step). Cond inputs are the precomputed 320-ch
         # embeddings (cached semantics; latent-space image_0/2/4 intent,
         # export_onnx.py:138-149).
-        gs = float(args.guidance)
         n_br = cfg.num_branches
 
-        def denoise_step(p, sample, t, context, embs):
+        def denoise_step(p, sample, t, context, embs, guidance):
             x2 = jnp.concatenate([sample, sample], axis=0)
             t2 = jnp.broadcast_to(t, (2 * b,))
             down, mid = pipe.mcn(p["controlnet"], x2, t2, context, embs,
@@ -120,19 +120,45 @@ def main(argv=None, config=None):
                 mid_block_additional_residual=mid,
             )
             uncond, cond = jnp.split(noise, 2, axis=0)
-            return uncond + gs * (cond - uncond)
+            return uncond + guidance * (cond - uncond)
 
         ex = (
             params,
-            _rand((b, lat_hw, lat_hw, cfg.unet.in_channels)),
+            # latents stay fp32 outside the model (pipeline _generate)
+            _rand((b, lat_hw, lat_hw, cfg.unet.in_channels)).astype(f32),
             jnp.asarray(500, jnp.int32),
             _rand((2 * b, cfg.clip.max_positions, cfg.clip.hidden_size)),
             [_rand((2 * b, lat_hw, lat_hw, c0)) for _ in range(n_br)],
+            jnp.asarray(args.guidance, jnp.float32),
         )
         path = os.path.join(args.output_dir, "unet_controlnet.stablehlo")
         export_program(denoise_step, ex, path, **tol)
         report["unet_controlnet"] = flop_report(denoise_step, *ex)
         print(f"exported {path}")
+
+    if args.what in ("all", "text_cond"):
+        # text encoder + cond-embedding graphs (the reference ONNX app also
+        # runs text encode and per-image preprocessing through exported
+        # graphs, app-onnx.py / edgestyle_onnx_pipeline.py:230-312)
+        def encode_text(p, ids, neg):
+            return pipe.encode_prompt(p, ids, neg)
+
+        def embed_conds(p, images):
+            # deterministic (posterior-mode) VAE encode + CFG duplication,
+            # matching the pipeline's _generate
+            embs = pipe.embed_cond_images(p, images)
+            return [jnp.concatenate([e, e], axis=0) for e in embs]
+
+        ids = jnp.ones((b, cfg.clip.max_positions), jnp.int32)
+        imgs = [_rand((b, cfg.vae.sample_size, cfg.vae.sample_size, 3)).astype(f32)
+                for _ in range(cfg.num_branches)]
+        p_txt = os.path.join(args.output_dir, "text_encoder.stablehlo")
+        p_emb = os.path.join(args.output_dir, "cond_embed.stablehlo")
+        export_program(encode_text, (params, ids, ids), p_txt, **tol)
+        export_program(embed_conds, (params, imgs), p_emb, **tol)
+        report["text_encoder"] = flop_report(encode_text, params, ids, ids)
+        report["cond_embed"] = flop_report(embed_conds, params, imgs)
+        print(f"exported {p_txt} / {p_emb}")
 
     if args.what in ("all", "vae"):
         def encode(p, img, key):
@@ -149,7 +175,8 @@ def main(argv=None, config=None):
             return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
         img = _rand((b, cfg.vae.sample_size, cfg.vae.sample_size, 3))
-        lat = _rand((b, lat_hw, lat_hw, cfg.unet.in_channels))
+        # the scheduler hands the decoder fp32 latents (pipeline _generate)
+        lat = _rand((b, lat_hw, lat_hw, cfg.unet.in_channels)).astype(f32)
         p_enc = os.path.join(args.output_dir, "vae_encoder.stablehlo")
         p_dec = os.path.join(args.output_dir, "vae_decoder.stablehlo")
         export_program(encode, (params, img, jax.random.key(0)), p_enc, **tol)

@@ -37,6 +37,10 @@ def add_model_source_args(p):
     p.add_argument("--sam_clothes", type=str, default=None)
     p.add_argument("--sam_head", type=str, default=None)
     p.add_argument("--bodypose_checkpoint", type=str, default=None)
+    p.add_argument("--exported_dir", type=str, default=None,
+                   help="apps/export.py artifact dir: run generation through "
+                        "the serialized deployment graphs instead of the "
+                        "one-program pipeline (reference app-onnx.py path)")
     return p
 
 
@@ -102,13 +106,22 @@ class TryOnSystem:
 
         self.pose_net = BodyPoseNet()
         self.preproc = TryOnPreprocessor(dtype=jnp.bfloat16)
-        self.pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"))
+        self._live_pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"))
+        if getattr(args, "exported_dir", None):
+            from edgestyle_tpu.pipelines.artifact import ArtifactPipeline
+
+            # generation via the serialized deployment graphs (reference
+            # app-onnx.py serving path); same call signature as the live
+            # pipeline, params still supplied at call time
+            self.pipe = ArtifactPipeline(args.exported_dir)
+        else:
+            self.pipe = self._live_pipe
 
         if random_init:
             x = jnp.zeros((1, 184, 184, 3))
             self.pose_params = jax.jit(self.pose_net.init)(k[0], x)["params"]
             self.sam_params = self.preproc.init_params(k[1])
-            self.gen_params = self.pipe.init_params(k[2])
+            self.gen_params = self._live_pipe.init_params(k[2])
         else:
             from edgestyle_tpu.core import porting
             from edgestyle_tpu.core.pretrained import load_pipeline_params

@@ -59,3 +59,35 @@ def test_export_cli_tiny(tmp_path):
         assert (tmp_path / f"{name}.stablehlo").exists()
         assert report[name]["flops"] > 0
     assert (tmp_path / "flops.json").exists()
+
+
+def test_artifact_pipeline_matches_live(tmp_path, rng):
+    """ArtifactPipeline (host loop over exported graphs — the reference
+    app-onnx.py analog) reproduces the one-program EdgeStylePipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.apps.export import main
+    from edgestyle_tpu.pipelines.artifact import ArtifactPipeline
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline
+    from tests.test_pipeline import TINY_PIPE
+
+    main(["--output_dir", str(tmp_path), "--random_init", "--what", "all",
+          "--dtype", "float32"], config=TINY_PIPE)
+
+    pipe = EdgeStylePipeline(TINY_PIPE, attn_impl="xla")
+    params = pipe.init_params(jax.random.key(0))
+    ids = jnp.asarray(rng.integers(1, 99, size=(1, 7)), jnp.int32)
+    neg = jnp.asarray(rng.integers(1, 99, size=(1, 7)), jnp.int32)
+    imgs = [jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32) * 0.1
+            for _ in range(6)]
+    key = jax.random.key(3)
+    live = pipe(params, ids, neg, imgs, rng=key, num_inference_steps=3,
+                guidance_scale=3.5)
+
+    art = ArtifactPipeline(str(tmp_path))
+    assert art.latent_shape == (1, 16, 16, 4)
+    out = art(params, ids, neg, imgs, rng=key, num_inference_steps=3,
+              guidance_scale=3.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live),
+                               atol=2e-4, rtol=1e-3)
