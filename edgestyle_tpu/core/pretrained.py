@@ -119,9 +119,13 @@ def load_pipeline_params(
     static_p = load_controlnet_params(openpose_controlnet_dir)
 
     if edgestyle_checkpoint:
-        from edgestyle_tpu.training.checkpoint import import_safetensors
+        if os.path.isdir(edgestyle_checkpoint):
+            # reference-layout trained checkpoint (controlnet_0/1 subdirs)
+            tr = load_edgestyle_pretrained_dir(edgestyle_checkpoint)
+        else:
+            from edgestyle_tpu.training.checkpoint import import_safetensors
 
-        tr = import_safetensors(edgestyle_checkpoint)
+            tr = import_safetensors(edgestyle_checkpoint)
         lora0, lora1 = tr["lora_0"], tr["lora_1"]
         heads0, heads1 = tr["heads_0"], tr["heads_1"]
         fusion = tr["fusion"]
@@ -153,3 +157,99 @@ def load_pipeline_params(
             "fusion": fusion,
         },
     }
+
+
+# ----------------------------------------------------- reference EdgeStyle
+# The reference trainer's final save (train_text2image_pretrained_openpose
+# .py:1373-1382 + EdgeStyleMultiControlNetModel.save_pretrained,
+# edgestyle_multicontrolnet.py:213-282) is a directory:
+#   diffusion_pytorch_model.safetensors      fusion blocks only (:173-193)
+#   controlnet_0/diffusion_pytorch_model.safetensors   ControlLoRA "A"
+#   controlnet_1/diffusion_pytorch_model.safetensors   ControlLoRA "B"
+# where each ControlLoRA file holds only non-tied modules + ".lora_layer."
+# weights (controllora.py:600-606). These loaders port that layout into
+# this framework's trainable trees so a reference-trained checkpoint runs
+# here unchanged.
+
+
+def _map_fusion_block(m, base: str, tgt: str):
+    for conv in ("first_conv", "second_conv", "third_conv"):
+        m.conv(base + rf"\.{conv}", f"{tgt}.{conv}")
+    for ln in ("first_normalization", "second_normalization"):
+        # torch nn.LayerNorm([C,H,W]) params → NHWC (H,W,C)
+        m.rule(base + rf"\.{ln}\.weight", f"{tgt}.{ln}.scale",
+               lambda w: np.transpose(np.asarray(w), (1, 2, 0)))
+        m.rule(base + rf"\.{ln}\.bias", f"{tgt}.{ln}.bias",
+               lambda w: np.transpose(np.asarray(w), (1, 2, 0)))
+    return m
+
+
+def port_fusion_state_dict(sd) -> Dict:
+    """Reference EdgeStyleMultiControlNetModel.state_dict() → fusion tree."""
+    m = porting.KeyMapper()
+    for k in range(12):
+        _map_fusion_block(m, rf"multi_controlnet_down_blocks\.{k}",
+                          f"multi_controlnet_down_blocks_{k}")
+    _map_fusion_block(m, r"multi_controlnet_mid_block",
+                      "multi_controlnet_mid_block")
+    return porting.unflatten(m.apply(sd))
+
+
+def port_controllora_state_dict(sd):
+    """Reference ControlLoRAModel.state_dict() (non-tied + lora subset) →
+    (lora tree {path: {down,up}}, zero-conv heads tree).
+
+    The tied trunk is absent by construction (tying here is structural:
+    the same UNet subtree is passed at assembly); the cond-embedding
+    conv_unet keys duplicate the tied UNet conv_in and are dropped."""
+    from edgestyle_tpu.models.unet import _unet_common_mapper
+
+    lora_sd = {k: v for k, v in sd.items() if ".lora_layer." in k}
+    rest = {
+        k: v for k, v in sd.items()
+        if ".lora_layer." not in k
+        and not k.startswith("controlnet_cond_embedding.")
+    }
+
+    m = porting.KeyMapper()
+    for k in range(12):
+        m.conv(rf"controlnet_down_blocks\.{k}", f"controlnet_down_blocks_{k}")
+    m.conv(r"controlnet_mid_block", "controlnet_mid_block")
+    heads = porting.unflatten(m.apply(rest))
+
+    trunk_m = _unet_common_mapper(porting.KeyMapper())
+    lora_flat: Dict[str, np.ndarray] = {}
+    for k, v in lora_sd.items():
+        base, tail = k.split(".lora_layer.", 1)
+        which = tail.split(".")[0]  # 'down' | 'up'
+        if which not in ("down", "up"):
+            raise KeyError(f"unexpected lora key {k}")
+        synth = base + ".weight"
+        for pat, template, _ in trunk_m.rules:
+            mm = pat.fullmatch(synth)
+            if mm:
+                flax_key = mm.expand(template)
+                break
+        else:
+            raise KeyError(f"no trunk mapping for lora base {base!r}")
+        if not flax_key.endswith(".kernel"):
+            raise KeyError(f"lora base {base!r} is not a kernel target")
+        # adapter tree is keyed by the FULL kernel path (init_lora_params)
+        # torch: down (r, in), up (out, r); ours: down (in, r), up (r, out)
+        lora_flat[f"{flax_key}.{which}"] = np.ascontiguousarray(np.asarray(v).T)
+    return porting.unflatten(lora_flat), heads
+
+
+def load_edgestyle_pretrained_dir(path: str) -> Dict:
+    """Load a reference-layout trained-EdgeStyle directory into the
+    trainable tree {lora_0, heads_0, lora_1, heads_1, fusion}."""
+    from safetensors.numpy import load_file
+
+    out: Dict = {"fusion": port_fusion_state_dict(
+        load_file(_find_weights(path)))}
+    for i in (0, 1):
+        sub = os.path.join(path, f"controlnet_{i}")
+        lora, heads = port_controllora_state_dict(load_file(_find_weights(sub)))
+        out[f"lora_{i}"] = lora
+        out[f"heads_{i}"] = heads
+    return out
