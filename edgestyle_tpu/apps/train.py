@@ -230,6 +230,15 @@ def main(argv=None):
         os.path.join(args.output_dir, "edgestyle_trainable.safetensors"),
         state["trainable"],
     )
+    # reference-layout final save (train...py:1373-1382): consumable by the
+    # reference torch stack (fusion + controlnet_0/1 subsets)
+    from edgestyle_tpu.core.pretrained import export_reference_layout
+
+    export_reference_layout(
+        os.path.join(args.output_dir, "controlnet"),
+        jax.device_get(state["trainable"]),
+        unet_conv_in=jax.device_get(frozen["unet"]["conv_in"]),
+    )
     print(json.dumps({"done": True, "final_step": int(np.asarray(state["step"]))}))
 
 

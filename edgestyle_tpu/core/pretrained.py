@@ -253,3 +253,106 @@ def load_edgestyle_pretrained_dir(path: str) -> Dict:
         out[f"lora_{i}"] = lora
         out[f"heads_{i}"] = heads
     return out
+
+
+def _trunk_inverse_index() -> Dict[str, str]:
+    """flax trunk kernel path → torch module base, built by running a
+    generated torch-key grammar through the forward mapper (no inverse
+    regexes to maintain)."""
+    from edgestyle_tpu.models.unet import _unet_common_mapper
+
+    cands = ["time_embedding.linear_1", "time_embedding.linear_2"]
+    def attn_unit(base):
+        out = []
+        for a in ("attn1", "attn2"):
+            out += [f"{base}.{a}.{t}" for t in ("to_q", "to_k", "to_v")]
+            out.append(f"{base}.{a}.to_out.0")
+        out += [f"{base}.ff.net.0.proj", f"{base}.ff.net.2"]
+        return out
+
+    for i in range(4):
+        for j in range(3):
+            ab = f"down_blocks.{i}.attentions.{j}"
+            cands += [f"{ab}.proj_in", f"{ab}.proj_out"]
+            cands.append(f"down_blocks.{i}.resnets.{j}.time_emb_proj")
+            for k in range(2):
+                cands += attn_unit(f"{ab}.transformer_blocks.{k}")
+    cands += ["mid_block.attentions.0.proj_in", "mid_block.attentions.0.proj_out",
+              "mid_block.resnets.0.time_emb_proj", "mid_block.resnets.1.time_emb_proj"]
+    for k in range(2):
+        cands += attn_unit(f"mid_block.attentions.0.transformer_blocks.{k}")
+
+    m = _unet_common_mapper(porting.KeyMapper())
+    inverse: Dict[str, str] = {}
+    for base in cands:
+        synth = base + ".weight"
+        for pat, template, _ in m.rules:
+            mm = pat.fullmatch(synth)
+            if mm:
+                inverse[mm.expand(template)] = base
+                break
+    return inverse
+
+
+def export_reference_layout(path: str, trainable: Dict, unet_conv_in=None) -> str:
+    """Write the trainable set in the REFERENCE's final-save layout
+    (train...py:1373-1382) so a reference-stack user can consume training
+    done here: fusion safetensors at the top + controlnet_{0,1}/ subdirs
+    holding the non-tied + lora subsets. Exact inverse of
+    load_edgestyle_pretrained_dir (round-trip asserted in tests).
+
+    `unet_conv_in`: optional {'kernel','bias'} of the tied UNet conv_in —
+    included as controlnet_cond_embedding.conv_unet.* so the reference's
+    strict load_state_dict finds every non-tied key."""
+    from safetensors.numpy import save_file
+
+    def inv_conv(k):  # HWIO → OIHW
+        return np.ascontiguousarray(np.transpose(np.asarray(k), (3, 2, 0, 1)))
+
+    os.makedirs(path, exist_ok=True)
+    fusion_sd: Dict[str, np.ndarray] = {}
+    for blk_name, blk in trainable["fusion"].items():
+        tname = blk_name.replace("multi_controlnet_down_blocks_",
+                                 "multi_controlnet_down_blocks.")
+        for sub, p in blk.items():
+            if sub.endswith("_conv"):
+                fusion_sd[f"{tname}.{sub}.weight"] = inv_conv(p["kernel"])
+                fusion_sd[f"{tname}.{sub}.bias"] = np.asarray(p["bias"])
+            else:  # full-extent LayerNorm: (H,W,C) → (C,H,W)
+                fusion_sd[f"{tname}.{sub}.weight"] = np.ascontiguousarray(
+                    np.transpose(np.asarray(p["scale"]), (2, 0, 1)))
+                fusion_sd[f"{tname}.{sub}.bias"] = np.ascontiguousarray(
+                    np.transpose(np.asarray(p["bias"]), (2, 0, 1)))
+    save_file(fusion_sd, os.path.join(path, "diffusion_pytorch_model.safetensors"),
+              metadata={"format": "pt"})
+
+    inverse = _trunk_inverse_index()
+    for i in (0, 1):
+        sd: Dict[str, np.ndarray] = {}
+        for hname, p in trainable[f"heads_{i}"].items():
+            tname = hname.replace("controlnet_down_blocks_",
+                                  "controlnet_down_blocks.")
+            sd[f"{tname}.weight"] = inv_conv(p["kernel"])
+            sd[f"{tname}.bias"] = np.asarray(p["bias"])
+        flat = porting.flatten(trainable[f"lora_{i}"])
+        for key, v in flat.items():
+            if key.endswith(".down") or key.endswith(".up"):
+                flax_kernel, which = key.rsplit(".", 1)
+                base = inverse.get(flax_kernel)
+                if base is None:
+                    raise KeyError(f"no torch mapping for lora path {flax_kernel}")
+                # ours: down (in,r), up (r,out) → torch (r,in)/(out,r)
+                sd[f"{base}.lora_layer.{which}.weight"] = np.ascontiguousarray(
+                    np.asarray(v).T)
+            else:
+                raise KeyError(f"unexpected lora leaf {key}")
+        if unet_conv_in is not None:
+            sd["controlnet_cond_embedding.conv_unet.weight"] = inv_conv(
+                unet_conv_in["kernel"])
+            sd["controlnet_cond_embedding.conv_unet.bias"] = np.asarray(
+                unet_conv_in["bias"])
+        sub = os.path.join(path, f"controlnet_{i}")
+        os.makedirs(sub, exist_ok=True)
+        save_file(sd, os.path.join(sub, "diffusion_pytorch_model.safetensors"),
+                  metadata={"format": "pt"})
+    return path

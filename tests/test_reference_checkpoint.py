@@ -157,3 +157,49 @@ def test_fusion_port_matches_existing_block_port(reference_dir):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reference_layout_round_trip():
+    """export_reference_layout → load_edgestyle_pretrained_dir is the
+    identity on the trainable set (bidirectional interop: training done
+    here is consumable by the reference stack and vice versa)."""
+    import tempfile
+
+    from edgestyle_tpu.core.pretrained import export_reference_layout
+    from edgestyle_tpu.models.multicontrolnet import EdgeStyleMultiControlNet
+
+    unet = SD15UNet(TINY, attn_impl="xla")
+    up = unet.init(jax.random.key(0), jnp.zeros((1, 16, 16, 4)),
+                   jnp.zeros((1,), jnp.int32), jnp.zeros((1, 7, 24)))["params"]
+    trunk = split_trunk_params(up)
+    rng = np.random.default_rng(0)
+
+    def heads_like():
+        mcn = EdgeStyleMultiControlNet(TINY, attn_impl="xla")
+        cp = mcn.branch.init(jax.random.key(2), jnp.zeros((1, 16, 16, 4)),
+                             jnp.zeros((1,), jnp.int32), jnp.zeros((1, 7, 24)),
+                             jnp.zeros((1, 16, 16, 32)),
+                             method="controlnet_forward")["params"]
+        return {k: jax.tree.map(lambda a: np.asarray(
+                    rng.standard_normal(a.shape), np.float32), v)
+                for k, v in cp.items() if k.startswith("controlnet_")}
+
+    mcn = EdgeStyleMultiControlNet(TINY, attn_impl="xla")
+    trainable = {
+        "lora_0": init_lora_params(jax.random.key(3), trunk, 4),
+        "lora_1": init_lora_params(jax.random.key(4), trunk, 4),
+        "heads_0": heads_like(),
+        "heads_1": heads_like(),
+        "fusion": mcn.init_fusion(jax.random.key(5), sample_hw=(16, 16)),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        export_reference_layout(d, trainable, unet_conv_in=up["conv_in"])
+        back = load_edgestyle_pretrained_dir(d)
+    la = jax.tree.leaves_with_path(trainable)
+    lb = jax.tree.leaves_with_path(back)
+    assert len(la) == len(lb)
+    bmap = {jax.tree_util.keystr(p): v for p, v in lb}
+    for p, v in la:
+        np.testing.assert_array_equal(
+            np.asarray(v, np.float32), bmap[jax.tree_util.keystr(p)],
+            err_msg=jax.tree_util.keystr(p))
