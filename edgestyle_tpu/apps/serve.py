@@ -58,6 +58,13 @@ def encode_prompts(tokenizer, miner, prompt, negative, clothes01):
     from edgestyle_tpu.data.tokenizer import empty_prompt_ids
 
     if tokenizer is None:
+        if prompt:
+            # don't silently generate unconditioned when the client asked
+            # for a specific prompt — surface the misconfiguration
+            raise ValueError(
+                "server started without --tokenizer_dir: per-request "
+                "'prompt' is unsupported (would be silently ignored)"
+            )
         e = jnp.asarray(empty_prompt_ids())
         return e, e
     if prompt is None and miner is not None:
@@ -129,8 +136,13 @@ class TryOnHandler(BaseHTTPRequestHandler):
                 "negative_prompt", self.defaults["negative_prompt"]
             )
 
-            ids, neg = encode_prompts(self.tokenizer, self.miner, prompt, negative, c1)
-            with self.lock:  # one generation at a time on the single chip
+            with self.lock:  # one request at a time on the single chip —
+                # prompt mining dispatches a CLIP forward, so it must be
+                # inside the lock too (the tunneled chip wedges under
+                # concurrent dispatch, CLAUDE.md)
+                ids, neg = encode_prompts(
+                    self.tokenizer, self.miner, prompt, negative, c1
+                )
                 out = self.system(subject, c1, c2, ids, neg, steps, guidance, seed)
             body = _png(out)
             self.send_response(200)

@@ -12,8 +12,10 @@ Reference behavior mirrored (segmenter_training_subject.py):
   * per-epoch TensorBoard mask overlay grids (:296-358);
   * best checkpoint (lowest train loss) exported as the decoder subtree
     (:438-444 ModelCheckpoint(monitor='train_loss') + :463-464 torch.save)
-    → trained_decoder_{head}.safetensors, loadable by apps.tryon
-    --sam_{head} directly.
+    → trained_decoder_{head}.safetensors. For tryon/serve, pass it as
+    --sam_subject/--sam_agnostic/--sam_clothes/--sam_head; the body-trained
+    decoder drives the agnostic mask (--sam_agnostic), mirroring the
+    reference's body→agnostic model use (extract_dataset.py:44-49).
 
 Usage:
   python -m edgestyle_tpu.apps.train_segmenter --head clothes \
@@ -166,6 +168,12 @@ def main(argv=None, sam_cfg=None):
     n_val = max(1, int(len(images01) * args.val_fraction)) if len(images01) > 1 else 0
     val_images, val_labels = images01[:n_val], labels[:n_val]
     images01, labels = images01[n_val:], labels[n_val:]
+    if len(images01) < args.batch_size:
+        raise SystemExit(
+            f"training set after the val split has {len(images01)} examples "
+            f"< --batch_size {args.batch_size}: every epoch would run zero "
+            f"steps. Add data or lower --batch_size."
+        )
     print(json.dumps({"train": len(images01), "val": int(n_val), "head": args.head}),
           flush=True)
 
@@ -181,15 +189,18 @@ def main(argv=None, sam_cfg=None):
     # validation_step path)
     prompt_scale = cfg.prompt_input_size / cfg.image_size
 
+    # frozen passed as an argument: closing over the full SAM tree would
+    # bake it into the HLO as constants (remote-compile HTTP 413 on the
+    # tunneled TPU — CLAUDE.md)
     @jax.jit
-    def predict(decoder, img01, labs):
+    def predict(fz, decoder, img01, labs):
         x = preprocess_sam_image(img01)
-        emb = sam.apply({"params": frozen}, x, method="encode_image")
+        emb = sam.apply({"params": fz}, x, method="encode_image")
         t = binary_target(labs, args.head)
         pts, lbls = jax.vmap(
             lambda m: jittered_box(m, jax.random.key(0), 0, prompt_scale)
         )(t)
-        p = {**frozen, "mask_decoder": decoder}
+        p = {**fz, "mask_decoder": decoder}
         masks, _ = sam.apply({"params": p}, emb, pts, lbls, method="decode",
                              multimask_output=False)
         logits = postprocess_masks(masks.astype(jnp.float32), img01.shape[1:3])[:, 0]
@@ -228,7 +239,7 @@ def main(argv=None, sam_cfg=None):
         # per-epoch overlay grid
         k = min(args.overlay_samples, len(images01))
         if k and writer:
-            pred, t = predict(state["decoder"], jnp.asarray(images01[:k]),
+            pred, t = predict(frozen, state["decoder"], jnp.asarray(images01[:k]),
                               jnp.asarray(labels[:k]))
             grid = overlay_grid(images01[:k], np.asarray(t), np.asarray(pred))
             writer.add_image(f"overlay_{args.head}", grid, epoch,

@@ -49,7 +49,10 @@ def export_program(
         if max_violation_frac == 0.0:
             np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
         else:
-            bad = np.abs(a - b) > (atol + rtol * np.abs(a))
+            diff = np.abs(a - b)
+            # non-finite diffs (NaN/inf on either side) always count as
+            # violations — `NaN > thresh` is False and would slip through
+            bad = ~np.isfinite(diff) | (diff > (atol + rtol * np.abs(a)))
             frac = float(bad.mean())
             if frac > max_violation_frac:
                 raise AssertionError(

@@ -302,8 +302,10 @@ def export_reference_layout(path: str, trainable: Dict, unet_conv_in=None) -> st
     load_edgestyle_pretrained_dir (round-trip asserted in tests).
 
     `unet_conv_in`: optional {'kernel','bias'} of the tied UNet conv_in —
-    included as controlnet_cond_embedding.conv_unet.* so the reference's
-    strict load_state_dict finds every non-tied key."""
+    included as controlnet_cond_embedding.conv_vae_out.* (the reference's
+    VAEControlNetConditioningEmbedding attribute, controllora.py:36 — the
+    same Parameter object as the tied conv_in) so the reference's strict
+    load_state_dict finds every non-tied key."""
     from safetensors.numpy import save_file
 
     def inv_conv(k):  # HWIO → OIHW
@@ -347,9 +349,9 @@ def export_reference_layout(path: str, trainable: Dict, unet_conv_in=None) -> st
             else:
                 raise KeyError(f"unexpected lora leaf {key}")
         if unet_conv_in is not None:
-            sd["controlnet_cond_embedding.conv_unet.weight"] = inv_conv(
+            sd["controlnet_cond_embedding.conv_vae_out.weight"] = inv_conv(
                 unet_conv_in["kernel"])
-            sd["controlnet_cond_embedding.conv_unet.bias"] = np.asarray(
+            sd["controlnet_cond_embedding.conv_vae_out.bias"] = np.asarray(
                 unet_conv_in["bias"])
         sub = os.path.join(path, f"controlnet_{i}")
         os.makedirs(sub, exist_ok=True)

@@ -16,7 +16,6 @@ parity and for driving the exported artifacts end-to-end.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional, Sequence
 
@@ -42,6 +41,7 @@ class ArtifactPipeline:
                 )
             self.graphs[name] = load_program(path)
         self.scheduler = UniPCScheduler(NoiseSchedule.sd15())
+        self._step_cache = {}
         # the denoise graph's sample input (first non-param arg) fixes the
         # latent geometry; params are a large flat prefix, so take the
         # 4-D fp32 aval right before the scalar-timestep input
@@ -53,12 +53,18 @@ class ArtifactPipeline:
         sample_aval = avals[t_idx - 1]
         self.latent_shape = tuple(sample_aval.shape)
 
-    @functools.lru_cache(maxsize=None)
     def _step_fn(self, num_steps: int, i: int):
-        plan = self.scheduler.plan(num_steps)
-        return jax.jit(
-            lambda out, sample, st: self.scheduler.step(plan, i, out, sample, st)
-        )
+        # per-instance cache (a global lru_cache keyed on self would keep
+        # discarded pipelines and their loaded graphs alive forever)
+        key = (num_steps, i)
+        fn = self._step_cache.get(key)
+        if fn is None:
+            plan = self.scheduler.plan(num_steps)
+            fn = jax.jit(
+                lambda out, sample, st: self.scheduler.step(plan, i, out, sample, st)
+            )
+            self._step_cache[key] = fn
+        return fn
 
     def __call__(
         self,

@@ -59,3 +59,37 @@ def timeit(fn: Callable, *args, iters: int = 5, warmup: int = 1) -> float:
 def mxu_utilization(flops: float, seconds: float, peak_tflops: float = 197.0) -> float:
     """Fraction of bf16 peak (v5e ≈ 197 TFLOP/s)."""
     return flops / seconds / (peak_tflops * 1e12)
+
+
+# ------------------------------------------------ scan-amortized probing
+# The axon tunnel adds a ~27-30 ms fixed floor to every dispatch, so small
+# programs must be probed as a 20-iteration lax.scan inside ONE jitted
+# program (BASELINE.md "Profiling note"). Round-2 traces showed even this
+# reads up to ~8x the true device time for tiny custom-call programs —
+# treat results as upper bounds and prefer device traces of the real
+# program (scripts/trace_pipeline.py).
+SCAN_STEPS = 20
+TUNNEL_FLOOR_MS = 27.0
+
+
+def scan_probe(body, steps: int = SCAN_STEPS):
+    """jit a `steps`-iteration scan of body(x, *args) whose carry mixes in
+    the output so XLA cannot hoist the body out of the loop."""
+    import jax.numpy as jnp
+
+    def run(x, *args):
+        def step(carry, _):
+            out = body(carry, *args)
+            flat = jnp.ravel(out)[:1].astype(carry.dtype)
+            return carry + flat * 1e-6, ()
+
+        final, _ = jax.lax.scan(step, x, jnp.arange(steps))
+        return final
+
+    return jax.jit(run)
+
+
+def ms_per_scan_step(fn, *args, iters: int = 3, steps: int = SCAN_STEPS) -> float:
+    """Floor-corrected milliseconds per scan step of a scan_probe program."""
+    t = timeit(fn, *args, iters=iters)
+    return max(t * 1e3 - TUNNEL_FLOOR_MS, 0.0) / steps

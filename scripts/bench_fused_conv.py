@@ -14,28 +14,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from edgestyle_tpu.ops import fused_conv as fc
-from edgestyle_tpu.utils.profiling import timeit
+from edgestyle_tpu.utils.profiling import ms_per_scan_step, scan_probe
 
-STEPS = 20
-FLOOR_MS = 27.0
-
-
-def scan20(body):
-    def run(x, *args):
-        def step(carry, _):
-            out = body(carry, *args)
-            flat = jnp.ravel(out)[: carry.shape[-1]].astype(carry.dtype)
-            return carry + flat * 1e-6, ()
-
-        final, _ = jax.lax.scan(step, x, jnp.arange(STEPS))
-        return final
-
-    return jax.jit(run)
-
-
-def ms_per_step(fn, *args):
-    t = timeit(fn, *args, iters=3)
-    return max(t * 1e3 - FLOOR_MS, 0.0) / STEPS
+scan20 = scan_probe
+ms_per_step = ms_per_scan_step
 
 
 def main():

@@ -32,26 +32,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from edgestyle_tpu.ops.attention import _xla_attention
 from edgestyle_tpu.ops.flash import flash_attention
-from edgestyle_tpu.utils.profiling import timeit
+from edgestyle_tpu.utils.profiling import (
+    ms_per_scan_step, scan_probe, timeit)
 
-STEPS = 20
-FLOOR_MS = 27.0
-
-
-def scan20(body):
-    def run(q, k, v):
-        def step(carry, _):
-            out = body(carry, k, v)
-            return carry + jnp.ravel(out)[:1].astype(carry.dtype) * 1e-6, ()
-
-        final, _ = jax.lax.scan(step, q, jnp.arange(STEPS))
-        return final
-
-    return jax.jit(run)
-
-
-def ms_step(fn, *args):
-    return max(timeit(fn, *args, iters=3) * 1e3 - FLOOR_MS, 0.0) / STEPS
+scan20 = scan_probe
+ms_step = ms_per_scan_step
 
 
 def main():

@@ -34,29 +34,14 @@ import flax.linen as nn
 
 from edgestyle_tpu.models.layers import ResnetBlock2D
 from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
-from edgestyle_tpu.utils.profiling import compiled_flops, timeit
+from edgestyle_tpu.utils.profiling import (
+    compiled_flops, ms_per_scan_step, scan_probe)
 
-STEPS = 20
 ROOF_TFLOPS = 130.0  # measured 8192^3 bf16 matmul on this chip (BASELINE.md)
-FLOOR_MS = 27.0      # tunnel dispatch floor for a whole call (BASELINE.md)
+STEPS = 20
 
-
-def scan20(body):
-    def run(x, *args):
-        def step(carry, _):
-            out = body(carry, *args)
-            flat = jnp.ravel(out)[:1].astype(carry.dtype)
-            return carry + flat * 1e-6, ()
-
-        final, _ = jax.lax.scan(step, x, jnp.arange(STEPS))
-        return final
-
-    return jax.jit(run)
-
-
-def ms_per_step(fn, *args, iters=3):
-    t = timeit(fn, *args, iters=iters)
-    return max(t * 1e3 - FLOOR_MS, 0.0) / STEPS
+scan20 = scan_probe
+ms_per_step = ms_per_scan_step
 
 
 def main():

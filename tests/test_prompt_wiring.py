@@ -19,11 +19,21 @@ from edgestyle_tpu.data.tokenizer import (
 
 
 def test_no_tokenizer_falls_back_to_empty_prompt_not_zeros():
-    ids, neg = encode_prompts(None, None, "ignored without tokenizer", "x", None)
+    ids, neg = encode_prompts(None, None, None, "x", None)
     assert ids.shape == (1, 77) and neg.shape == (1, 77)
     assert int(ids[0, 0]) == CLIP_BOS_ID
     assert (np.asarray(ids[0, 1:]) == CLIP_EOS_ID).all()
     assert not (np.asarray(ids) == 0).all()
+
+
+def test_no_tokenizer_rejects_explicit_prompt():
+    """An explicit prompt must not be silently discarded when the server
+    has no tokenizer — the caller gets an error instead of an
+    unconditioned generation."""
+    import pytest
+
+    with pytest.raises(ValueError, match="tokenizer"):
+        encode_prompts(None, None, "red dress", "x", None)
 
 
 def test_tokenizer_encodes_request_prompt():

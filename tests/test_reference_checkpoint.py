@@ -45,9 +45,9 @@ def _controllora_saved_subset(tmod, rank=4, seed=0):
     sd = {k: v for k, v in tmod.state_dict().items()
           if k.split(".")[0] not in _SKIP_TOPS}
     # the saved dict carries the tied conv_in via the VAE cond embedding
-    # (conv_unet) — loader must drop it
-    sd["controlnet_cond_embedding.conv_unet.weight"] = tmod.conv_in.weight.detach()
-    sd["controlnet_cond_embedding.conv_unet.bias"] = tmod.conv_in.bias.detach()
+    # (conv_vae_out, reference controllora.py:36) — loader must drop it
+    sd["controlnet_cond_embedding.conv_vae_out.weight"] = tmod.conv_in.weight.detach()
+    sd["controlnet_cond_embedding.conv_vae_out.bias"] = tmod.conv_in.bias.detach()
     for name, mod in tmod.named_modules():
         if name.split(".")[0] in _SKIP_TOPS and isinstance(mod, torch.nn.Linear):
             din, dout = mod.in_features, mod.out_features
