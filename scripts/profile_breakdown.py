@@ -26,26 +26,11 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
-from edgestyle_tpu.utils.profiling import timeit
+from edgestyle_tpu.utils.profiling import scan_probe, timeit
 
 STEPS = 20
 
-
-def scan20(body):
-    """Wrap body(x, params, *rest) in a 20-step scan carrying x's dtype/shape
-    through a cheap mixer so XLA cannot hoist the body out of the loop."""
-
-    def run(x, *args):
-        def step(carry, i):
-            out = body(carry, *args)
-            # mix the (possibly differently-shaped) output back into the carry
-            flat = jnp.ravel(out)[:1].astype(carry.dtype)
-            return carry + flat * 1e-6, ()
-
-        final, _ = jax.lax.scan(step, x, jnp.arange(STEPS))
-        return final
-
-    return jax.jit(run)
+scan20 = scan_probe
 
 
 def main():
