@@ -274,6 +274,56 @@ class EdgeStylePipeline:
         )
 
 
+    def generate_dp(
+        self,
+        mesh,
+        params,
+        prompt_ids: jax.Array,
+        negative_prompt_ids: jax.Array,
+        cond_images: Sequence[jax.Array],
+        latents: Optional[jax.Array] = None,
+        **kwargs,
+    ):
+        """Data-parallel batch generation over a device mesh.
+
+        Batch rows shard over the mesh's ``data`` axis, params replicate,
+        and the SAME jitted program as :meth:`__call__` runs — GSPMD
+        partitions the whole denoise scan (CLIP encode, six-branch
+        ControlNet, UNet, UniPC, VAE decode) across ICI with no code
+        changes, because every op is batch-parallel. This is the multi-chip
+        serving story the reference's torch pipeline batch dim implies
+        (/root/reference/model/edgestyle_pipeline.py:429-543) but cannot
+        deliver without a comm layer.
+
+        The global batch must divide the ``data`` axis size. Results match
+        the single-device program (same global shapes + partitionable
+        threefry → identical per-element RNG), tested in
+        tests/test_pipeline.py::test_generate_dp_matches_single_device.
+        """
+        from edgestyle_tpu.core.mesh import (
+            DATA_AXIS,
+            batch_sharding,
+            replicate_params,
+        )
+
+        b = prompt_ids.shape[0]
+        nd = mesh.shape[DATA_AXIS]
+        if b % nd:
+            raise ValueError(
+                f"global batch {b} must divide the data axis size {nd}"
+            )
+        bs = batch_sharding(mesh)
+        params = replicate_params(mesh, params)
+        prompt_ids = jax.device_put(prompt_ids, bs)
+        negative_prompt_ids = jax.device_put(negative_prompt_ids, bs)
+        cond_images = [jax.device_put(im, bs) for im in cond_images]
+        if latents is not None:
+            latents = jax.device_put(latents, bs)
+        return self(
+            params, prompt_ids, negative_prompt_ids, cond_images,
+            latents=latents, **kwargs,
+        )
+
     def _check_inputs(self, prompt_ids, negative_prompt_ids, cond_images,
                       num_inference_steps, latents):
         """Host-side validation (reference check_inputs,

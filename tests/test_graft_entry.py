@@ -61,3 +61,42 @@ def test_dryrun_child_does_not_refork(monkeypatch):
     monkeypatch.setenv("_EDGESTYLE_DRYRUN_CHILD", "1")
     with pytest.raises(RuntimeError, match="did not take effect"):
         ge.dryrun_multichip(8)
+
+
+def test_dryrun_never_inits_non_cpu_default_backend(monkeypatch):
+    """MULTICHIP_r02 regression: on the bench host jax_platforms is
+    'axon,cpu' (TPU plugin first). The parent must re-exec the CPU child
+    WITHOUT calling jax.devices() at all — enumerating the default backend
+    initializes the (possibly wedged) TPU client, and the old
+    jax.devices('cpu') in-process branch then left un-placed array creation
+    on that client (libtpu-mismatch crash inside the 'cpu' dryrun)."""
+    import subprocess
+
+    monkeypatch.setattr(
+        type(jax.config), "jax_platforms", property(lambda self: "axon,cpu")
+    )
+
+    def no_devices(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("jax.devices() must not be called by the parent")
+
+    monkeypatch.setattr(jax, "devices", no_devices)
+
+    captured = {}
+
+    def fake_run(argv, cwd=None, env=None, check=None):
+        captured.update(argv=argv, env=env)
+
+        class R:
+            returncode = 0
+
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    ge.dryrun_multichip(8)
+    code = captured["argv"][2]
+    # the child pins cpu BEFORE importing __graft_entry__/running the impl,
+    # so the axon client is never created there either
+    assert code.index("jax.config.update('jax_platforms', 'cpu')") < code.index(
+        "_dryrun_impl(8)"
+    )
+    assert "--xla_force_host_platform_device_count=8" in captured["env"]["XLA_FLAGS"]

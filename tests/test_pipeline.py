@@ -145,3 +145,30 @@ def test_four_branch_legacy_pattern(rng):
                num_inference_steps=2, guidance_scale=3.5)
     img = np.asarray(jax.tree.leaves(out)[0])
     assert np.isfinite(img).all() and img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_generate_dp_matches_single_device(pipe_and_params, rng):
+    """VERDICT r2 item 3: data-parallel batch inference. B=8 sharded over
+    the 8-device virtual mesh must produce the same images as the plain
+    single-device program (same global shapes + partitionable threefry →
+    identical per-element math up to GSPMD scheduling)."""
+    from edgestyle_tpu.core.mesh import DATA_AXIS, MeshSpec, make_mesh
+
+    pipe, params = pipe_and_params
+    ids, neg, imgs = _inputs(rng, b=8)
+    single = pipe(params, ids, neg, imgs, rng=jax.random.key(3),
+                  num_inference_steps=2)
+
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    dp = pipe.generate_dp(mesh, params, ids, neg, imgs,
+                          rng=jax.random.key(3), num_inference_steps=2)
+    # the computation really spanned all 8 mesh devices
+    assert len(dp.sharding.device_set) == 8
+    assert np.asarray(dp).shape == (8, 32, 32, 3)
+    np.testing.assert_allclose(
+        np.asarray(dp), np.asarray(single), rtol=1e-5, atol=1e-5
+    )
+
+    with pytest.raises(ValueError, match="divide"):
+        i3, n3, im3 = _inputs(rng, b=3)
+        pipe.generate_dp(mesh, params, i3, n3, im3, num_inference_steps=1)
