@@ -1,5 +1,5 @@
-"""Benchmark harness — prints ONE JSON line per config (default: the
-north-star try-on config, which is what the driver records).
+"""Benchmark harness — prints ONE JSON line per config (default: ALL
+configs, north-star try-on first; the driver records every line).
 
 BASELINE.json's five configs are all runnable:
   tryon      (default) full 6-branch try-on, 512px, 20 steps, CFG, bf16
@@ -206,7 +206,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=list(CONFIGS) + ["all"], default="tryon")
+    # default "all": the driver's BENCH_r{N}.json should carry every config
+    # (VERDICT r2 item 5) so VAE/SAM/train regressions are machine-visible;
+    # the headline try-on metric stays the FIRST line emitted.
+    ap.add_argument("--config", choices=list(CONFIGS) + ["all"], default="all")
     args = ap.parse_args()
     names = list(CONFIGS) if args.config == "all" else [args.config]
     for n in names:

@@ -44,6 +44,73 @@ def person_box_from_pose(keypoints: np.ndarray, margin: float = 0.2,
     return np.array([max(0, x0), max(0, y0), min(hw[1], x1), min(hw[0], y1)])
 
 
+def person_box_from_auto_masks(
+    preproc,
+    sam_params,
+    img01: np.ndarray,
+    points_per_side: int = 8,
+    chunk: int = 16,
+    pred_iou_thresh: float = 0.7,
+    stability_thresh: float = 0.85,
+    area_frac=(0.03, 0.9),
+) -> Optional[np.ndarray]:
+    """Person localization WITHOUT a pose (VERDICT r2 item 6).
+
+    The reference localizes the person with YOLOv5 BEFORE pose detection
+    (/root/reference/extract_dataset.py:54,527-543), so a frame whose
+    person is too small for full-frame OpenPose still gets cropped — and
+    pose detection then usually succeeds on the crop. This rebuild
+    replaces YOLO with machinery already resident on the TPU: SAM
+    automatic-mask candidates over a point grid
+    (models/efficientvit/sam.py:413-487, the reference's automatic mask
+    generator, efficientvit sam.py:460-514). The largest candidate whose
+    area fraction is person-plausible (``area_frac`` — excludes
+    background/wall near-full-frame masks and speckle) supplies the box.
+
+    img01: square (S, S, 3) float [0,1]. Returns [x0,y0,x1,y1] float32 in
+    the image frame, or None when no plausible candidate exists.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.models.efficientvit.sam import (
+        automatic_mask_candidates,
+        preprocess_sam_image,
+        select_auto_masks,
+    )
+    from edgestyle_tpu.ops.morphology import mask_bbox
+
+    sam = preproc.sam
+    # cache the jitted candidate program on the preprocessor: a fresh
+    # jax.jit(lambda ...) per frame would retrace+recompile every call
+    key = f"_auto_cand_jit_{points_per_side}_{chunk}"
+    fn = getattr(preproc, key, None)
+    if fn is None:
+        fn = jax.jit(lambda v, im: automatic_mask_candidates(
+            sam, v, im, points_per_side=points_per_side, chunk=chunk))
+        setattr(preproc, key, fn)
+
+    img = preprocess_sam_image(jnp.asarray(img01, jnp.float32)[None])
+    masks, iou, stab = fn({"params": sam_params["sam"]}, img)
+    cands = select_auto_masks(
+        masks, iou, stab, pred_iou_thresh=pred_iou_thresh,
+        stability_thresh=stability_thresh,
+    )
+    mh = int(masks.shape[-1])
+    n_px = mh * mh
+    lo, hi = area_frac
+    best, best_area = None, 0
+    for c in cands:
+        a = int(c["segmentation"].sum())
+        if lo * n_px <= a <= hi * n_px and a > best_area:
+            best, best_area = c["segmentation"], a
+    if best is None:
+        return None
+    box = np.asarray(mask_bbox(jnp.asarray(best), margin=10), np.float32)
+    h, w = img01.shape[:2]
+    return box * np.array([w, h, w, h], np.float32) / mh
+
+
 def margin_crop_square(img: np.ndarray, box: np.ndarray, out_size: int = 512) -> np.ndarray:
     """Expand the box to a square, clamp, crop, resize (reference
     create_processed_image :112-171)."""
@@ -67,8 +134,18 @@ def extract_subject(
     top_k: Optional[int] = None,
     iqa=None,
     skip_marker: str = "_skip_",
+    stats: Optional[dict] = None,
 ) -> int:
-    """Process frames into the artifact layout. Returns #frames written."""
+    """Process frames into the artifact layout. Returns #frames written.
+
+    When ``stats`` is a dict it is filled with per-frame accounting,
+    including how many pose-less frames the SAM auto-mask fallback
+    recovered (``box_fallback``) vs dropped (``dropped_no_box``) — the
+    frame-acceptance delta VERDICT r2 item 6 asks to surface."""
+    if stats is None:
+        stats = {}
+    stats.update(box_from_pose=0, box_fallback=0, dropped_no_box=0,
+                 dropped_no_pose_on_crop=0)
     if os.path.exists(os.path.join(out_dir, skip_marker)):
         return 0
     arts = ("processed", "openpose", "openpose_json", "subject", "mask",
@@ -87,14 +164,31 @@ def extract_subject(
 
         img512 = standard_image(frame)
         kp, skel = system.detect_pose(img512.astype(np.float32) / 255.0)
-        if kp is None:
-            continue
-        box = person_box_from_pose(kp)
-        if box is None:
-            continue
+        box = person_box_from_pose(kp) if kp is not None else None
+        if box is not None:
+            stats["box_from_pose"] += 1
+        else:
+            # YOLO-equivalent fallback (reference crops BEFORE pose, so a
+            # person too small for full-frame OpenPose is still kept): a
+            # SAM auto-mask supplies the box; pose retries on the crop
+            if getattr(system, "preproc", None) is not None and getattr(
+                system, "sam_params", None
+            ) is not None:
+                box = person_box_from_auto_masks(
+                    system.preproc, system.sam_params,
+                    img512.astype(np.float32) / 255.0,
+                )
+            if box is None:
+                stats["dropped_no_box"] += 1
+                continue
+            stats["box_fallback"] += 1
         processed = margin_crop_square(img512, box)
         kp2, skel2 = system.detect_pose(processed.astype(np.float32) / 255.0)
         if kp2 is None:
+            # reference drops pose-less frames too (create_sam_images
+            # returns all-None when openpose_json is None, :353-358, and
+            # process_data filters them, :661-668)
+            stats["dropped_no_pose_on_crop"] += 1
             continue
         ex = system.extract(processed.astype(np.float32) / 255.0, kp2)
         results.append((idx, processed, skel2, kp2, ex))
@@ -170,8 +264,10 @@ def main(argv=None):
 
     system = TryOnSystem(random_init=args.random_init, args=args)
     frames = load_frames(args.input, args.every_n)
-    n = extract_subject(system, frames, args.output_dir, top_k=args.top_k)
-    print(json.dumps({"frames_in": len(frames), "frames_written": n}))
+    stats: dict = {}
+    n = extract_subject(system, frames, args.output_dir, top_k=args.top_k,
+                        stats=stats)
+    print(json.dumps({"frames_in": len(frames), "frames_written": n, **stats}))
 
 
 if __name__ == "__main__":

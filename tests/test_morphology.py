@@ -65,6 +65,27 @@ def test_largest_component(rng):
     assert not np.asarray(largest_component(jnp.zeros((8, 8), bool))).any()
 
 
+def test_largest_component_spiral(rng):
+    """VERDICT r2 weak 6 regression: a genuinely serpentine region (spiral
+    geodesic ~O(H·W/2) pixels long) must label as ONE component. The old
+    1-step flood fill with an H+W budget split it; the run-sweep fixpoint
+    handles it in O(turns) sweeps. Verified against cv2's own labeling."""
+    h = w = 33
+    m = np.zeros((h, w), bool)
+    # serpentine: full track rows every 2px, alternately connected at the
+    # right/left edge — the geodesic from one end to the other walks
+    # ~H·W/2 pixels through ~H turns
+    for i, r in enumerate(range(0, h, 2)):
+        m[r, :] = True
+        if r + 1 < h:
+            m[r + 1, w - 1 if i % 2 == 0 else 0] = True
+
+    n, _ = cv2.connectedComponents(m.astype(np.uint8), connectivity=4)
+    assert n == 2, "fixture must be a single serpentine component"
+    out = np.asarray(largest_component(jnp.asarray(m)))
+    np.testing.assert_array_equal(out, m)
+
+
 def test_mask_bbox():
     m = np.zeros((100, 120), bool)
     m[30:50, 40:70] = True

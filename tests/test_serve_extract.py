@@ -118,3 +118,134 @@ def test_extract_subject(tmp_path, rng):
     (tmp_path / "skip_subj").mkdir()
     (tmp_path / "skip_subj" / "_skip_").touch()
     assert extract_subject(StubExtractSystem(), frames, str(tmp_path / "skip_subj")) == 0
+
+
+def test_extract_subject_sam_box_fallback(tmp_path, rng, monkeypatch):
+    """VERDICT r2 item 6: pose-less frames get a SAM auto-mask person box
+    instead of being dropped, and the acceptance delta is surfaced."""
+    from edgestyle_tpu.apps import extract_dataset as ed
+
+    class FailEveryOther(StubExtractSystem):
+        preproc = object()      # non-None → fallback path is taken
+        sam_params = object()
+
+        def __init__(self):
+            self.full_frame_calls = 0
+
+        def detect_pose(self, img01):
+            # first call per frame is full-frame (on standard_image output);
+            # second is on the crop. Fail the full-frame one for frame 1.
+            self.full_frame_calls += 1
+            if self.full_frame_calls in (3,):  # frame 1's full-frame pass
+                return None, np.zeros((512, 512, 3), np.float32)
+            return super().detect_pose(img01)
+
+    monkeypatch.setattr(
+        ed, "person_box_from_auto_masks",
+        lambda preproc, params, img01, **kw: np.array([100, 50, 400, 480], np.float32),
+    )
+    frames = [rng.integers(0, 255, (600, 400, 3), dtype=np.uint8) for _ in range(3)]
+    stats = {}
+    n = ed.extract_subject(FailEveryOther(), frames, str(tmp_path / "fb"), stats=stats)
+    assert n == 3, "fallback must recover the pose-less frame"
+    assert stats["box_fallback"] == 1 and stats["box_from_pose"] == 2
+    assert stats["dropped_no_box"] == 0
+
+
+def test_extract_subject_drops_when_no_fallback_available(tmp_path, rng):
+    """A system without SAM machinery (stub) drops pose-less frames and
+    accounts for them."""
+    from edgestyle_tpu.apps import extract_dataset as ed
+
+    class NoPose(StubExtractSystem):
+        def detect_pose(self, img01):
+            return None, np.zeros((512, 512, 3), np.float32)
+
+    frames = [rng.integers(0, 255, (600, 400, 3), dtype=np.uint8) for _ in range(2)]
+    stats = {}
+    n = ed.extract_subject(NoPose(), frames, str(tmp_path / "np"), stats=stats)
+    assert n == 0 and stats["dropped_no_box"] == 2
+
+
+def test_person_box_from_auto_masks_tiny(rng):
+    """Drive the real SAM auto-mask box path on the tiny config: returns a
+    plausible in-frame box (or None cleanly when nothing passes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.apps.extract_dataset import person_box_from_auto_masks
+    from edgestyle_tpu.models.efficientvit.sam import EfficientViTSam, SamConfig
+    from tests.test_efficientvit import TINY_BB
+
+    class P:
+        sam = EfficientViTSam(SamConfig(backbone=TINY_BB, neck_depth=1, image_size=64))
+
+    p = P()
+    params = p.sam.init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 1, 2)),
+        jnp.ones((1, 1), jnp.int32),
+    )["params"]
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    box = person_box_from_auto_masks(
+        p, {"sam": params}, img,
+        points_per_side=2, chunk=4,
+        pred_iou_thresh=-10.0, stability_thresh=0.0, area_frac=(0.0, 1.0),
+    )
+    if box is not None:
+        assert box.shape == (4,)
+        assert 0 <= box[0] <= 64 and 0 <= box[3] <= 64
+
+
+class StubGenSystem:
+    """detect_pose/extract/generate stub for the gradio callback wiring."""
+
+    def detect_pose(self, img01):
+        kp = np.full((18, 2), np.nan, np.float32)
+        kp[[0, 8]] = [[256, 100], [256, 350]]
+        return kp, np.full((512, 512, 3), 0.25, np.float32)
+
+    def extract(self, img01, kp):
+        return {"subject": img01, "agnostic": img01 * 0.5,
+                "head": img01, "clothes": img01 * 0.9}
+
+    def generate(self, cond, ids, neg, steps, guidance, seed):
+        self.last = dict(cond=cond, steps=steps, guidance=guidance, seed=seed)
+        return np.clip(cond["agnostic"] + 0.1, 0, 1)
+
+
+def test_gradio_callbacks_headless(rng):
+    """VERDICT r2 item 8: the reference two-step Blocks flow
+    (app.py:125-256) is exercised without gradio installed."""
+    from edgestyle_tpu.apps.serve import GradioCallbacks
+
+    sys_ = StubGenSystem()
+    cb = GradioCallbacks(sys_)
+    subj = rng.integers(0, 255, (600, 400, 3), dtype=np.uint8)
+    c1 = rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)
+    c2 = rng.integers(0, 255, (300, 500, 3), dtype=np.uint8)
+
+    six = cb.preprocess(subj, c1, c2)
+    assert len(six) == 6
+    for im in six:
+        assert im.shape == (512, 512, 3) and im.dtype == np.uint8
+    # pose slots come from detect_pose's skeleton render
+    assert (six[1] == 63).all() and (six[3] == 63).all()
+
+    out = cb.try_on(*six, scale=4.5, steps=7, seed=3)
+    assert out.shape == (512, 512, 3) and out.dtype == np.uint8
+    assert sys_.last["steps"] == 7 and sys_.last["guidance"] == 4.5
+    assert sys_.last["seed"] == 3
+    assert set(sys_.last["cond"]) == {
+        "agnostic", "subject_pose", "clothes1", "clothes1_pose",
+        "clothes2", "clothes2_pose",
+    }
+
+
+def test_gradio_tryon_rejects_prompt_without_tokenizer():
+    from edgestyle_tpu.apps.serve import GradioCallbacks
+
+    cb = GradioCallbacks(StubGenSystem(), tokenizer=None)
+    blank = np.zeros((512, 512, 3), np.uint8)
+    with pytest.raises(ValueError, match="tokenizer"):
+        cb.try_on(blank, blank, blank, blank, blank, blank,
+                  scale=3.5, steps=2, prompt="red dress")
