@@ -39,15 +39,70 @@ def example_from_row(row: Dict) -> Dict[str, np.ndarray]:
 
 
 def load_hub_dataset(name_or_path: str, split: str = "train"):
-    """Load via `datasets` (local path or hub id when network exists).
-    Returns (train_rows, test_rows) with the reference's fixed split."""
+    """Load via `datasets` (a `save_to_disk` dir, any local dataset dir, or
+    a hub id when network exists — reference dataset.py:69 loads
+    andrei-ace/EdgeStyle). Returns (train_rows, test_rows) with the
+    reference's fixed first-4 test split (dataset.py:74)."""
+    import os
+
     import datasets
 
-    ds = datasets.load_dataset(name_or_path, split=split)
+    if os.path.isdir(name_or_path) and (
+        os.path.exists(os.path.join(name_or_path, "dataset_info.json"))
+        or os.path.exists(os.path.join(name_or_path, split, "dataset_info.json"))
+    ):
+        ds = datasets.load_from_disk(name_or_path)
+        if not isinstance(ds, datasets.Dataset):  # DatasetDict
+            ds = ds[split]
+    else:
+        ds = datasets.load_dataset(name_or_path, split=split)
     n = len(ds)
     test = [example_from_row(ds[i]) for i in range(min(TEST_SPLIT_SIZE, n))]
     train_idx = list(range(min(TEST_SPLIT_SIZE, n), n))
     return _LazyRows(ds, train_idx), test
+
+
+def dataset_from_examples(examples) -> "object":
+    """Examples (dicts in the 10-image + input_ids schema, e.g. from
+    data.dataset.EdgeStyleLocalDataset.example) → an HF `datasets.Dataset`
+    with Image features — the structure the reference builds in
+    dataset_local.py:322-330 before pushing (push_dataset.py:7)."""
+    import datasets
+    from PIL import Image
+
+    feats = datasets.Features({
+        **{f: datasets.Image() for f in SCHEMA_FIELDS},
+        "input_ids": datasets.Sequence(datasets.Value("int32")),
+    })
+
+    def gen():
+        for ex in examples:
+            row = {
+                f: Image.fromarray(np.asarray(ex[f], np.uint8))
+                for f in SCHEMA_FIELDS
+            }
+            row["input_ids"] = np.asarray(ex["input_ids"], np.int32).tolist()
+            yield row
+
+    return datasets.Dataset.from_generator(gen, features=feats)
+
+
+def save_dataset(ds, path: str) -> None:
+    """Arrow save — the artifact `load_hub_dataset` reads back offline."""
+    ds.save_to_disk(path)
+
+
+def push_dataset(ds, repo_id: str):
+    """Reference push_dataset.py:7 (`edgestyle_dataset.push_to_hub(...)`).
+    Network-bound: raises a clear error offline instead of hanging."""
+    try:
+        return ds.push_to_hub(repo_id)
+    except Exception as e:  # no network in this image
+        raise RuntimeError(
+            f"push_to_hub({repo_id!r}) failed — this environment has no "
+            f"network access; use save_dataset() and push from a connected "
+            f"host: {e}"
+        ) from e
 
 
 class _LazyRows:

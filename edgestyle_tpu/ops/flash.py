@@ -302,8 +302,16 @@ def _fwd(q, k, v, scale):
 
 
 def _bwd(scale, res, g):
+    import os
+
     q, k, v, out, lse = res
-    return _flash_backward(q, k, v, out, lse, g, scale)
+    # block sizes read at trace time (env for A/B sweeps). r3 device-trace
+    # sweep on the full train step: 1024/1024 cut the flash custom-call
+    # total 23.4→21.7 ms/sample vs 512/512 (BASELINE.md train profile), so
+    # 1024 is the default — mirroring the forward's 512→1024 win.
+    bq = int(os.environ.get("EDGESTYLE_FLASH_BWD_BQ", "1024"))
+    bk = int(os.environ.get("EDGESTYLE_FLASH_BWD_BK", "1024"))
+    return _flash_backward(q, k, v, out, lse, g, scale, block_q=bq, block_k=bk)
 
 
 flash_attention.defvjp(_fwd, _bwd)

@@ -238,10 +238,23 @@ def make_train_step(pipe: EdgeStylePipeline, cfg: TrainConfig, sched=None):
             )
             return (g_acc, rng), aux["loss"]
 
-        g0 = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state["trainable"]
-        )
-        (grads, _), losses = jax.lax.scan(micro, (g0, rng), (batch,))
+        if cfg.grad_accum == 1:
+            # no accumulation needed: skip the scan's fp32 zero-init + add
+            # round-trip over every trainable grad (the while-loop carry
+            # defeats XLA's x+0 simplification; numerics identical — one
+            # rng split, g/1 + 0 == g, grads are already fp32)
+            rng, r = jax.random.split(rng)
+            mb = jax.tree.map(lambda x: x[0], batch)
+            grads, aux = grad_fn(
+                state["trainable"], frozen, pipe, sched, cfg, mb, r
+            )
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+            losses = aux["loss"][None]
+        else:
+            g0 = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state["trainable"]
+            )
+            (grads, _), losses = jax.lax.scan(micro, (g0, rng), (batch,))
         updates, opt_state = opt.update(grads, state["opt_state"], state["trainable"])
         trainable = optax.apply_updates(state["trainable"], updates)
         new_state = {

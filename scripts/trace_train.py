@@ -26,6 +26,8 @@ batch = {"original": img(), "agnostic": img(), "head": img(), "clothes": img(),
          "clothes2": img(), "original_openpose": img(), "clothes_openpose": img(),
          "clothes_openpose2": img(),
          "input_ids": jnp.asarray(g.integers(1, 49000, (1, 1, 77)), jnp.int32)}
+n_tr = sum(x.size for x in jax.tree.leaves(trainable))
+print(f"trainable params: {n_tr/1e6:.1f}M")
 step = jax.jit(make_train_step(pipe, cfg))
 ns, m = step(state, frozen, batch, jax.random.key(0)); np.asarray(m["loss"])
 logdir = "/tmp/edgestyle_trace_train"
@@ -46,3 +48,16 @@ print(f"train step device total: {total/1e3:.1f} ms/sample")
 for c,d in cat.most_common(12): print(f"{d/1e3:8.2f} ms  {c}")
 print("--- top op groups ---")
 for n,d in name_agg.most_common(15): print(f"{d/1e3:8.2f} ms  {n}")
+
+# MFU: XLA cost-model FLOPs of the whole step / device time, vs both the
+# v5e bf16 peak (197 TF/s) and this chip's measured matmul roof (130 TF/s,
+# BASELINE.md). jit cache makes this lower/compile a lookup, not a rebuild.
+cost = jax.jit(make_train_step(pipe, cfg)).lower(
+    state, frozen, batch, jax.random.key(0)).compile().cost_analysis()
+if isinstance(cost, list):
+    cost = cost[0]
+fl = float(cost.get("flops", -1))
+dev_s = total / 1e6
+print(f"cost-model flops/step: {fl/1e12:.2f} TF | device {dev_s*1e3:.1f} ms | "
+      f"MFU {fl/dev_s/197e12*100:.1f}% of peak, {fl/dev_s/130e12*100:.1f}% of "
+      f"measured matmul roof")

@@ -182,3 +182,34 @@ def test_adamw_optimizer_option():
     u, s = opt.update({"w": jnp.ones(4) * 0.5}, s, x)
     x2 = optax.apply_updates(x, u)
     assert not np.allclose(np.asarray(x2["w"]), np.asarray(x["w"]))
+
+
+def test_grad_accum_one_fast_path(train_setup):
+    """The r3 grad_accum==1 fast path (no scan/accumulator) must be exactly
+    one grad + optimizer update with the same rng split the scan performed."""
+    pipe, _, frozen, state = train_setup
+    from edgestyle_tpu.schedulers.ddpm import NoiseSchedule
+    from edgestyle_tpu.training.train_step import (
+        controlnet_loss_fn,
+        make_optimizer,
+    )
+
+    cfg1 = TrainConfig(grad_accum=1, lr_total_steps=None)
+    step = jax.jit(make_train_step(pipe, cfg1))
+    batch = _batch(3, accum=1)
+    new_state, m = step(state, frozen, batch, jax.random.key(5))
+    assert np.isfinite(float(m["loss"]))
+
+    _, r = jax.random.split(jax.random.key(5))
+    mb = jax.tree.map(lambda x: x[0], batch)
+    grads, aux = jax.grad(controlnet_loss_fn, has_aux=True)(
+        state["trainable"], frozen, pipe, NoiseSchedule.sd15(), cfg1, mb, r
+    )
+    upd, _ = make_optimizer(cfg1).update(
+        grads, state["opt_state"], state["trainable"]
+    )
+    want = optax.apply_updates(state["trainable"], upd)
+    for a, b in zip(jax.tree.leaves(new_state["trainable"]), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
+    np.testing.assert_allclose(float(m["loss"]), float(aux["loss"]), rtol=1e-6)
