@@ -220,19 +220,61 @@ class TryOnSystem:
         )
         return np.asarray(out[0])
 
-    def __call__(self, subject01, clothes1_01, clothes2_01, prompt_ids, neg_ids,
-                 steps=20, guidance=3.5, seed=0):
+    def generate_batch(self, conds, prompt_ids, neg_ids, steps=20,
+                       guidance=3.5, seeds=(0,)):
+        """Batched serving path: ONE jitted generation for B requests.
+
+        conds: list of B cond dicts (prepare_cond output). Per-request
+        ``seeds`` reproduce the exact single-request initial latents
+        (normal(key(seed), (1,h,w,4)) rows concatenated — the same array
+        the b=1 path draws), and ``guidance`` may be a per-sample list, so
+        the batched program computes exactly what B separate calls would
+        (every op is per-sample independent; equality tested in
+        tests/test_pipeline.py::test_batched_requests_match_sequential).
+        The reference can only loop (edgestyle_pipeline.py batch dim is
+        never fed >1 by its apps); here batch throughput on one chip is
+        +14% img/s at B=4 (BASELINE.md) and shards over chips via
+        generate_dp."""
+        jax, jnp = self.jax, self.jnp
+        to_norm = lambda a: jnp.asarray(a * 2.0 - 1.0, jnp.float32)
+        to01 = lambda a: jnp.asarray(a, jnp.float32)
+        stack = lambda key, f: jnp.stack([f(c[key]) for c in conds])
+        imgs = [
+            stack("agnostic", to_norm), stack("subject_pose", to01),
+            stack("clothes1", to_norm), stack("clothes1_pose", to01),
+            stack("clothes2", to_norm), stack("clothes2_pose", to01),
+        ]
+        cfg = self._live_pipe.cfg
+        hw = cfg.vae.sample_size // self._live_pipe.vae_downscale
+        lat = jnp.concatenate([
+            jax.random.normal(jax.random.key(int(s)), (1, hw, hw, cfg.unet.in_channels),
+                              jnp.float32)
+            for s in seeds
+        ])
+        g = guidance if np.isscalar(guidance) else jnp.asarray(guidance, jnp.float32)
+        out = self.pipe(
+            self.gen_params, prompt_ids, neg_ids, imgs, latents=lat,
+            num_inference_steps=steps, guidance_scale=g,
+        )
+        return np.asarray(out)
+
+    def prepare_cond(self, subject01, clothes1_01, clothes2_01):
+        """Photos → the six-image cond dict (pose + SAM extraction)."""
         kp_s, pose_s = self.detect_pose(subject01)
         kp_1, pose_1 = self.detect_pose(clothes1_01)
         kp_2, pose_2 = self.detect_pose(clothes2_01)
         ex_s = self.extract(subject01, kp_s)
         ex_1 = self.extract(clothes1_01, kp_1)
         ex_2 = self.extract(clothes2_01, kp_2)
-        cond = {
+        return {
             "agnostic": ex_s["agnostic"], "subject_pose": pose_s,
             "clothes1": ex_1["clothes"], "clothes1_pose": pose_1,
             "clothes2": ex_2["clothes"], "clothes2_pose": pose_2,
         }
+
+    def __call__(self, subject01, clothes1_01, clothes2_01, prompt_ids, neg_ids,
+                 steps=20, guidance=3.5, seed=0):
+        cond = self.prepare_cond(subject01, clothes1_01, clothes2_01)
         return self.generate(cond, prompt_ids, neg_ids, steps, guidance, seed)
 
 

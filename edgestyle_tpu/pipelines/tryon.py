@@ -209,6 +209,14 @@ class EdgeStylePipeline:
         if scales is None:
             scales = [1.0] * cfg.num_branches
 
+        # scalar guidance broadcasts; a (B,) vector applies per sample so
+        # requests with different guidance batch into ONE generation (the
+        # reference sweeps guidance as separate generations,
+        # test_text2image_pretrained_openpose.py:318-361)
+        g = jnp.asarray(guidance_scale, jnp.float32)
+        if g.ndim:
+            g = g.reshape((b,) + (1,) * 3)
+
         def model_fn(sample, t):
             x2 = jnp.concatenate([sample, sample], axis=0)
             t2 = jnp.broadcast_to(t, (2 * b,))
@@ -222,7 +230,7 @@ class EdgeStylePipeline:
                 mid_block_additional_residual=mid,
             )
             uncond, cond = jnp.split(noise, 2, axis=0)
-            return uncond + guidance_scale * (cond - uncond)
+            return uncond + g * (cond - uncond)
 
         final = self.scheduler.sample_loop(plan, model_fn, latents)
         if return_latents:
@@ -267,9 +275,18 @@ class EdgeStylePipeline:
             rng = jax.random.key(0)
         if conditioning_scale is not None:
             conditioning_scale = jnp.asarray(conditioning_scale, jnp.float32)
+        guidance_scale = jnp.asarray(guidance_scale, jnp.float32)
+        if guidance_scale.ndim not in (0, 1) or (
+            guidance_scale.ndim == 1
+            and guidance_scale.shape[0] != prompt_ids.shape[0]
+        ):
+            raise ValueError(
+                f"guidance_scale must be a scalar or (B,), got "
+                f"{guidance_scale.shape} for B={prompt_ids.shape[0]}"
+            )
         return self._generate_jit(
             params, prompt_ids, negative_prompt_ids, tuple(cond_images), rng,
-            num_inference_steps, jnp.float32(guidance_scale), conditioning_scale,
+            num_inference_steps, guidance_scale, conditioning_scale,
             latents, return_latents=return_latents,
         )
 

@@ -172,3 +172,32 @@ def test_generate_dp_matches_single_device(pipe_and_params, rng):
     with pytest.raises(ValueError, match="divide"):
         i3, n3, im3 = _inputs(rng, b=3)
         pipe.generate_dp(mesh, params, i3, n3, im3, num_inference_steps=1)
+
+
+def test_batched_requests_match_sequential(pipe_and_params, rng):
+    """Serving batcher contract: B requests with different guidance and
+    different seed-latents, run as ONE batched generation, must equal the
+    B single-request runs (per-sample guidance vector + latent rows)."""
+    pipe, params = pipe_and_params
+    B = 3
+    ids, neg, imgs = _inputs(rng, b=B)
+    gs = [2.0, 3.5, 7.0]
+    lat = jnp.stack([
+        jax.random.normal(jax.random.key(s), (16, 16, 4), jnp.float32)
+        for s in (10, 11, 12)
+    ])
+    batched = pipe(params, ids, neg, imgs, latents=lat,
+                   guidance_scale=jnp.asarray(gs), num_inference_steps=2)
+    for j in range(B):
+        one = pipe(
+            params, ids[j:j+1], neg[j:j+1], [im[j:j+1] for im in imgs],
+            latents=lat[j:j+1], guidance_scale=gs[j], num_inference_steps=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched[j]), np.asarray(one[0]), rtol=2e-5, atol=2e-5,
+            err_msg=f"request {j}",
+        )
+
+    with pytest.raises(ValueError, match="guidance_scale"):
+        pipe(params, ids, neg, imgs, guidance_scale=jnp.ones((2,)),
+             num_inference_steps=1)

@@ -249,3 +249,111 @@ def test_gradio_tryon_rejects_prompt_without_tokenizer():
     with pytest.raises(ValueError, match="tokenizer"):
         cb.try_on(blank, blank, blank, blank, blank, blank,
                   scale=3.5, steps=2, prompt="red dress")
+
+
+class StubBatchSystem:
+    """prepare_cond/generate_batch surface for the request batcher."""
+
+    def __init__(self):
+        self.calls = []
+        self.lock = threading.Lock()
+
+    def prepare_cond(self, s, c1, c2):
+        return {"agnostic": s, "subject_pose": s, "clothes1": c1,
+                "clothes1_pose": c1, "clothes2": c2, "clothes2_pose": c2}
+
+    def generate_batch(self, conds, ids, neg, steps, guidance, seeds):
+        with self.lock:
+            self.calls.append({"B": len(conds), "steps": steps,
+                               "guidance": list(guidance), "seeds": list(seeds)})
+        # mark each output with its request's guidance so routing is checkable
+        return np.stack([
+            np.full((512, 512, 3), g / 10.0, np.float32) for g in guidance
+        ])
+
+
+def test_batching_tryon_coalesces_and_routes(rng):
+    from edgestyle_tpu.apps.serve import BatchingTryOn
+
+    sys_ = StubBatchSystem()
+    b = BatchingTryOn(sys_, max_batch=4, window_s=0.25)
+    img = np.zeros((512, 512, 3), np.float32)
+
+    results = {}
+
+    def call(g, steps=5):
+        results[g] = b.submit(img, img, img, None, "", steps, g, seed=int(g))
+
+    threads = [threading.Thread(target=call, args=(g,)) for g in (1.0, 2.0, 3.0)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+
+    # routed to the right caller (output encodes its own guidance)
+    for g in (1.0, 2.0, 3.0):
+        np.testing.assert_allclose(results[g][0, 0, 0], g / 10.0)
+    # coalesced: fewer generate calls than requests, all same-steps together
+    assert 1 <= len(sys_.calls) <= 2
+    assert sum(c["B"] for c in sys_.calls) == 3
+    assert all(c["steps"] == 5 for c in sys_.calls)
+
+
+def test_batching_tryon_groups_by_steps(rng):
+    from edgestyle_tpu.apps.serve import BatchingTryOn
+
+    sys_ = StubBatchSystem()
+    b = BatchingTryOn(sys_, max_batch=4, window_s=0.25)
+    img = np.zeros((512, 512, 3), np.float32)
+    out = {}
+
+    def call(key, steps):
+        out[key] = b.submit(img, img, img, None, "", steps, 3.5, seed=0)
+
+    ts = [threading.Thread(target=call, args=(i, s))
+          for i, s in enumerate((4, 4, 9))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    # steps is a static jit arg → 4s batch together, 9 runs alone
+    by_steps = {c["steps"]: c["B"] for c in sys_.calls}
+    assert sum(by_steps.values()) == 3
+
+
+def test_batching_tryon_error_propagates():
+    from edgestyle_tpu.apps.serve import BatchingTryOn
+
+    class Boom(StubBatchSystem):
+        def generate_batch(self, *a, **k):
+            raise RuntimeError("chip on fire")
+
+    b = BatchingTryOn(Boom(), max_batch=2, window_s=0.01)
+    img = np.zeros((512, 512, 3), np.float32)
+    with pytest.raises(RuntimeError, match="chip on fire"):
+        b.submit(img, img, img, None, "", 2, 3.5, 0)
+
+
+def test_server_with_batching_roundtrip(rng):
+    """HTTP round-trip through the batched path (--max_batch > 1)."""
+    from edgestyle_tpu.apps.serve import build_server, parse_args
+
+    args = parse_args(["--port", "0", "--random_init", "--max_batch", "3",
+                       "--batch_window_ms", "20"])
+    srv = build_server(args, StubBatchSystem())
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        img = rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)
+        payload = json.dumps({
+            "subject": _b64_png(img), "clothes1": _b64_png(img),
+            "clothes2": _b64_png(img), "steps": 2, "guidance": 5.0,
+        }).encode()
+        req = urllib.request.Request(url + "/tryon", data=payload, method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert out.shape == (512, 512, 3)
+        np.testing.assert_allclose(out[0, 0, 0] / 255.0, 0.5, atol=0.01)
+    finally:
+        srv.shutdown()
