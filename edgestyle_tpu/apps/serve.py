@@ -225,9 +225,9 @@ class BatchingTryOn:
 
         first = self.q.get()
         batch = [first]
-        deadline = time.time() + self.window_s
+        deadline = time.monotonic() + self.window_s
         while len(batch) < self.max_batch:
-            left = deadline - time.time()
+            left = deadline - time.monotonic()
             if left <= 0:
                 break
             try:
@@ -269,7 +269,9 @@ class BatchingTryOn:
                 r["out"] = out[j]
         except Exception as e:  # noqa: BLE001 — fail the requests, not the worker
             for r in rs:
-                r.setdefault("error", e)
+                # one exception INSTANCE per request: concurrent re-raises
+                # of a shared instance cross-contaminate __traceback__
+                r.setdefault("error", RuntimeError(f"{type(e).__name__}: {e}"))
         finally:
             for r in rs:
                 r["done"].set()
@@ -315,6 +317,11 @@ def main(argv=None):
     enable_persistent_cache()
     from edgestyle_tpu.apps.tryon import TryOnSystem
 
+    if args.max_batch > 1 and getattr(args, "exported_dir", None):
+        raise SystemExit(
+            "--max_batch > 1 requires the live pipeline; artifact serving "
+            "(--exported_dir) is single-request"
+        )
     system = TryOnSystem(random_init=args.random_init, args=args)
 
     try:

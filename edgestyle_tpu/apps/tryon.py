@@ -235,6 +235,17 @@ class TryOnSystem:
         never fed >1 by its apps); here batch throughput on one chip is
         +14% img/s at B=4 (BASELINE.md) and shards over chips via
         generate_dp."""
+        if self.pipe is not self._live_pipe:
+            raise ValueError(
+                "batched generation needs the live pipeline: the artifact "
+                "path (--exported_dir) supports neither explicit latents "
+                "nor per-sample guidance"
+            )
+        if len(seeds) != len(conds):
+            raise ValueError(
+                f"{len(conds)} requests but {len(seeds)} seeds — one seed "
+                "per request is required to reproduce single-request latents"
+            )
         jax, jnp = self.jax, self.jnp
         to_norm = lambda a: jnp.asarray(a * 2.0 - 1.0, jnp.float32)
         to01 = lambda a: jnp.asarray(a, jnp.float32)

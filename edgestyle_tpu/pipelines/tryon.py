@@ -312,9 +312,10 @@ class EdgeStylePipeline:
         (/root/reference/model/edgestyle_pipeline.py:429-543) but cannot
         deliver without a comm layer.
 
-        The global batch must divide the ``data`` axis size. Results match
-        the single-device program (same global shapes + partitionable
-        threefry → identical per-element RNG), tested in
+        The ``data`` axis size must divide the global batch (each device
+        takes B/nd rows). Results match the single-device program (same
+        global shapes + partitionable threefry → identical per-element
+        RNG), tested in
         tests/test_pipeline.py::test_generate_dp_matches_single_device.
         """
         from edgestyle_tpu.core.mesh import (
@@ -327,7 +328,8 @@ class EdgeStylePipeline:
         nd = mesh.shape[DATA_AXIS]
         if b % nd:
             raise ValueError(
-                f"global batch {b} must divide the data axis size {nd}"
+                f"global batch {b} is not divisible by the data axis size "
+                f"{nd} (each device takes B/{nd} rows)"
             )
         bs = batch_sharding(mesh)
         params = replicate_params(mesh, params)

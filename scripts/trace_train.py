@@ -51,8 +51,10 @@ for n,d in name_agg.most_common(15): print(f"{d/1e3:8.2f} ms  {n}")
 
 # MFU: XLA cost-model FLOPs of the whole step / device time, vs both the
 # v5e bf16 peak (197 TF/s) and this chip's measured matmul roof (130 TF/s,
-# BASELINE.md). jit cache makes this lower/compile a lookup, not a rebuild.
-cost = jax.jit(make_train_step(pipe, cfg)).lower(
+# BASELINE.md). Reuse the SAME jitted `step` so lower/compile is a true
+# cache lookup (a fresh jax.jit(make_train_step(...)) closure would
+# re-trace the full-size step for minutes).
+cost = step.lower(
     state, frozen, batch, jax.random.key(0)).compile().cost_analysis()
 if isinstance(cost, list):
     cost = cost[0]
