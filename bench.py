@@ -152,11 +152,14 @@ def bench_train():
     state = {"trainable": trainable, "opt_state": make_optimizer(cfg).init(trainable),
              "step": jnp.zeros([], jnp.int32)}
     g = np.random.default_rng(0)
-    img = lambda: jnp.asarray(g.standard_normal((1, 1, 512, 512, 3)), jnp.float32) * 0.2
+    # microbatch 2 = the reference recipe's bs2 (README.md:73) and 14%
+    # better per-sample than mb=1 (dW convs amortize; BASELINE.md r3)
+    mb = 2
+    img = lambda: jnp.asarray(g.standard_normal((1, mb, 512, 512, 3)), jnp.float32) * 0.2
     batch = {"original": img(), "agnostic": img(), "head": img(), "clothes": img(), "clothes2": img(),
              "original_openpose": img(), "clothes_openpose": img(),
              "clothes_openpose2": img(),
-             "input_ids": jnp.asarray(g.integers(1, 49000, (1, 1, 77)), jnp.int32)}
+             "input_ids": jnp.asarray(g.integers(1, 49000, (1, mb, 77)), jnp.int32)}
     step = jax.jit(make_train_step(pipe, cfg))
 
     def run(s):
@@ -166,7 +169,7 @@ def bench_train():
     dt = _time(run, iters=3)
     # per-sample time; the reference recipe (bs2×ga32) is 64 samples/step
     return {"metric": "controllora_train_step_per_sample_s",
-            "value": round(dt, 3), "unit": "s", "vs_baseline": None}
+            "value": round(dt / mb, 3), "unit": "s", "vs_baseline": None}
 
 
 def bench_tryon_b4():
