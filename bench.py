@@ -198,8 +198,42 @@ def bench_tryon_b4():
             "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
 
 
+def bench_fused():
+    """North-star fused program: raw photos + keypoints → try-on image,
+    ONE XLA program (SAM masks ×3 + pose render ×3 + 20-step 6-branch
+    generation + VAE decode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.pipelines.full import FusedTryOn
+    from edgestyle_tpu.pipelines.preprocess import TryOnPreprocessor
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+
+    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
+    preproc = TryOnPreprocessor(dtype=jnp.bfloat16)
+    fused = FusedTryOn(preproc, pipe)
+    pp = preproc.init_params(jax.random.key(1))
+    params = {"sam": pp["sam"], "decoders": pp["decoders"],
+              "gen": pipe.init_params(jax.random.key(0))}
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
+    )
+    rng = np.random.default_rng(0)
+    photo = lambda: jnp.asarray(rng.random((512, 512, 3)), jnp.float32)
+    kps = jnp.asarray(rng.random((3, 18, 2)) * 512, jnp.float32)
+    ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
+    neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
+    s, c1, c2 = photo(), photo(), photo()
+    dt = _time(lambda i: fused(params, s, c1, c2, kps, ids, neg,
+                               jax.random.key(i), num_inference_steps=20))
+    return {"metric": "fused_photos_to_tryon_s_20steps", "value": round(dt, 3),
+            "unit": "s",
+            "vs_baseline": round((1.0 / dt) / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+
+
 CONFIGS = {"tryon": bench_tryon, "tryon_b4": bench_tryon_b4, "vae": bench_vae,
-           "sam": bench_sam, "unet_cn": bench_unet_cn, "train": bench_train}
+           "sam": bench_sam, "unet_cn": bench_unet_cn, "train": bench_train,
+           "fused": bench_fused}
 
 
 def main():
@@ -216,7 +250,14 @@ def main():
     args = ap.parse_args()
     names = list(CONFIGS) if args.config == "all" else [args.config]
     for n in names:
-        print(json.dumps(CONFIGS[n]()), flush=True)
+        # one config failing (e.g. a tunnel wedge) must not lose the rest;
+        # lines flush as they complete so a timeout still keeps the
+        # headline metric (emitted first)
+        try:
+            print(json.dumps(CONFIGS[n]()), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"metric": n, "error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
 
 
 if __name__ == "__main__":
