@@ -101,6 +101,18 @@ def main():
     with torch.no_grad():
         out["fusion.out"] = fmod(torch.from_numpy(fx)).numpy()
 
+    # ------------------------------------------------- OpenPose body CNN
+    from tests.torch_bodypose import BodyPoseCMU
+
+    bmod = BodyPoseCMU()
+    shapes["bodypose"] = {k: list(v.shape) for k, v in bmod.state_dict().items()}
+    bmod = load_synth(bmod, shapes["bodypose"])
+    bx = gm.bodypose_inputs()
+    with torch.no_grad():
+        paf, heat = bmod(torch.from_numpy(bx))
+    out["bodypose.paf"] = paf.numpy()
+    out["bodypose.heat"] = heat.numpy()
+
     # --------------------------------------- UniPC fp64 transcription traj
     from edgestyle_tpu.schedulers.ddpm import NoiseSchedule
     from tests.test_reference_parity import DiffusersUniPCRef, _toy_eps

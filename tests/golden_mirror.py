@@ -121,6 +121,12 @@ def fusion_inputs():
     return rng.standard_normal((2, c * n, *size)).astype(np.float32)
 
 
+def bodypose_inputs():
+    rng = np.random.default_rng(106)
+    # (1, 3, 64, 64) in [-0.5, 0.5] — the net's documented input range
+    return (rng.random((1, 3, 64, 64)).astype(np.float32) - 0.5)
+
+
 def unipc_x0():
     return np.random.default_rng(3).standard_normal((1, 4, 4, 4))
 

@@ -156,6 +156,26 @@ def test_fusion_block_matches_golden(goldens, shapes):
     _scaled_close(to_nchw(out), goldens["fusion.out"], 1e-5, "fusion")
 
 
+def test_bodypose_matches_golden(goldens, shapes):
+    if "bodypose.paf" not in goldens:
+        pytest.skip("goldens predate the bodypose capture")
+    from edgestyle_tpu.models.openpose import (
+        BodyPoseNet,
+        port_bodypose_state_dict,
+    )
+
+    params = porting.unflatten(
+        port_bodypose_state_dict(gm.synth_state_dict(shapes["bodypose"]))
+    )
+    net = BodyPoseNet()
+    x = gm.bodypose_inputs()
+    paf, heat = jax.jit(lambda p, x: net.apply({"params": p}, x))(
+        params, jnp.asarray(to_nhwc(x))
+    )
+    _scaled_close(to_nchw(paf), goldens["bodypose.paf"], 1e-4, "paf")
+    _scaled_close(to_nchw(heat), goldens["bodypose.heat"], 1e-4, "heat")
+
+
 @pytest.mark.parametrize("steps,order", list(gm.UNIPC_CASES))
 def test_unipc_matches_golden_trajectory(goldens, steps, order):
     from edgestyle_tpu.schedulers.ddpm import NoiseSchedule
