@@ -127,11 +127,11 @@ class SegHead(nn.Module):
         for fid in ("stage4", "stage3", "stage2"):
             y = ConvLayer(self.head_width, 1, norm="bn", act=None,
                           dtype=self.dtype, name=f"input_{fid}")(feats[fid])
-            b, h, w, c = y.shape
-            if (h, w) != tuple(target):
-                y = jax.image.resize(
-                    y.astype(jnp.float32), (b, *target, c), method="bicubic"
-                ).astype(y.dtype)
+            # torch-exact bicubic, matching the reference UpSampleLayer
+            # (ops/resize.py — see SamNeck note)
+            from edgestyle_tpu.ops.resize import torch_bicubic_resize
+
+            y = torch_bicubic_resize(y, tuple(target))
             merged = y if merged is None else merged + y
         x = merged
         for j in range(self.head_depth):

@@ -57,13 +57,12 @@ class SamNeck(nn.Module):
                 self.head_width, 1, norm="bn", act=None, dtype=self.dtype,
                 name=f"input_{fid}",
             )(feats[fid])
-            b, h, w, c = y.shape
-            if (h, w) != (self.feature_hw, self.feature_hw):
-                y = jax.image.resize(
-                    y.astype(jnp.float32),
-                    (b, self.feature_hw, self.feature_hw, c),
-                    method="bicubic",
-                ).astype(y.dtype)
+            # torch-exact bicubic (a=-0.75): jax.image.resize's a=-0.5
+            # kernel diverged ~7% of scale from the reference UpSampleLayer
+            # (ops/resize.py; caught by the r3 full-model SAM mirror)
+            from edgestyle_tpu.ops.resize import torch_bicubic_resize
+
+            y = torch_bicubic_resize(y, (self.feature_hw, self.feature_hw))
             merged = y if merged is None else merged + y
         x = merged
         for j in range(self.head_depth):

@@ -168,3 +168,31 @@ def test_automatic_mask_generation_tiny(rng):
     for r in picked:
         assert r["segmentation"].shape == (256, 256)
         assert set(r) == {"segmentation", "predicted_iou", "stability_score"}
+
+
+def test_torch_bicubic_resize_matches_torch(rng):
+    """ops/resize.py: torch-EXACT bicubic (a=-0.75, half-pixel, edge
+    clamp) — the reference UpSampleLayer semantics. jax.image.resize's
+    a=-0.5 kernel diverges ~7% of scale at the neck's 16→64 upsample
+    (the r3 full-model SAM mirror caught this as a real parity gap)."""
+    import torch
+    import torch.nn.functional as F
+
+    from edgestyle_tpu.ops.resize import torch_bicubic_resize
+
+    for ih, iw, oh, ow in [(16, 16, 64, 64), (32, 32, 64, 64), (8, 12, 64, 64),
+                           (64, 64, 32, 32)]:
+        x = rng.standard_normal((2, ih, iw, 5)).astype(np.float32)
+        want = F.interpolate(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))), size=(oh, ow),
+            mode="bicubic", align_corners=False,
+        ).numpy()
+        got = np.transpose(
+            np.asarray(torch_bicubic_resize(jnp.asarray(x), (oh, ow))),
+            (0, 3, 1, 2),
+        )
+        np.testing.assert_allclose(got, want, atol=2e-6,
+                                   err_msg=f"{ih}x{iw}->{oh}x{ow}")
+    # identity passthrough
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.float32)
+    assert torch_bicubic_resize(x, (8, 8)) is x
