@@ -34,6 +34,8 @@ import numpy as np
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 GOLDENS_NPZ = os.path.join(GOLDEN_DIR, "mirror_v1.npz")
 SHAPES_JSON = os.path.join(GOLDEN_DIR, "mirror_v1_shapes.json")
+SAM_GOLDENS_NPZ = os.path.join(GOLDEN_DIR, "sam_v1.npz")
+SAM_SHAPES_JSON = os.path.join(GOLDEN_DIR, "sam_v1_shapes.json")
 
 # mirror of test_fullmodel_parity.MID_CFG: architecture-complete (4 blocks,
 # real depth) at reduced widths so the committed tensors stay small
@@ -43,6 +45,12 @@ CN_COND_CH = (16, 32, 64, 64)
 VAE_MID = dict(chs=(32, 64, 64), layers=2, px=64)
 FUSION = dict(c=8, n=6, size=(4, 4))
 UNIPC_CASES = ((20, 2), (20, 3), (5, 1))
+# architecture-complete EfficientViT-SAM at reduced widths/depths: every
+# block family (ResBlock, FusedMBConv, fewer-norm MBConv, LiteMLA vit
+# stage), the neck DAG with a REAL bicubic resize (8->64), and the full
+# prompt-encoder/two-way-decoder — decoder widths stay the true 256.
+SAM_MID = dict(widths=(16, 32, 64, 128, 256), depths=(1, 1, 1, 2, 2),
+               neck_depth=2, image_size=256)
 PRODIGY_STEPS = 60
 PRODIGY_CHECKPOINTS = (0, 1, 5, 20, 59)
 
@@ -63,7 +71,12 @@ def synth_state_dict(shapes: dict, seed: int = 1234) -> dict:
             fan_in = int(np.prod(shp[1:]))
             out[k] = (g.standard_normal(shp) / fan_in**0.5).astype(np.float32)
         else:
-            out[k] = (1.0 + 0.25 * g.standard_normal(shp)).astype(np.float32)
+            # np.asarray: 0-d shapes (BN num_batches_tracked) must still
+            # yield ndarrays, not numpy scalars
+            out[k] = np.asarray(1.0 + 0.25 * g.standard_normal(shp), np.float32)
+        if k.endswith("running_var"):
+            # BN variances must stay positive; same RNG draws, then folded
+            out[k] = np.abs(out[k]) + np.float32(0.05)
     return out
 
 
@@ -125,6 +138,21 @@ def bodypose_inputs():
     rng = np.random.default_rng(106)
     # (1, 3, 64, 64) in [-0.5, 0.5] — the net's documented input range
     return (rng.random((1, 3, 64, 64)).astype(np.float32) - 0.5)
+
+
+def sam_inputs():
+    """(image NCHW, box-corner points, labels, free-point prompt) for the
+    SAM_MID mirror. Image is SAM-normalized-scale (roughly N(0,1));
+    point coords live in the 1024 prompt frame like the reference
+    predictor transform."""
+    rng = np.random.default_rng(107)
+    px = SAM_MID["image_size"]
+    img = rng.standard_normal((1, 3, px, px)).astype(np.float32)
+    box_pts = np.array([[[210.0, 180.0], [830.0, 940.0]]], np.float32)
+    box_lbl = np.array([[2, 3]], np.int64)
+    pt_pts = np.array([[[500.0, 480.0], [120.0, 900.0], [0.0, 0.0]]], np.float32)
+    pt_lbl = np.array([[1, 0, -1]], np.int64)
+    return img, box_pts, box_lbl, pt_pts, pt_lbl
 
 
 def unipc_x0():

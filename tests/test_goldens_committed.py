@@ -176,6 +176,57 @@ def test_bodypose_matches_golden(goldens, shapes):
     _scaled_close(to_nchw(heat), goldens["bodypose.heat"], 1e-4, "heat")
 
 
+def test_sam_matches_golden():
+    """Full-model EfficientViT-SAM vs the committed torch-mirror golden
+    (tests/torch_sam.py via scripts/capture_sam_golden.py): backbone +
+    neck (incl. the torch-exact bicubic 8->64 resize) + prompt encoder +
+    mask decoder, through the REAL port mapper."""
+    if not __import__("os").path.exists(gm.SAM_GOLDENS_NPZ):
+        pytest.skip("sam goldens missing — run scripts/capture_sam_golden.py")
+    import json
+
+    from edgestyle_tpu.models.efficientvit.backbone import BackboneConfig
+    from edgestyle_tpu.models.efficientvit.sam import (
+        EfficientViTSam,
+        SamConfig,
+        port_sam_state_dict,
+    )
+
+    goldens = dict(np.load(gm.SAM_GOLDENS_NPZ))
+    with open(gm.SAM_SHAPES_JSON) as f:
+        shapes = json.load(f)["sam_mid"]
+    c = gm.SAM_MID
+    cfg = SamConfig(
+        backbone=BackboneConfig(width_list=tuple(c["widths"]),
+                                depth_list=tuple(c["depths"])),
+        neck_depth=c["neck_depth"], image_size=c["image_size"],
+    )
+    params = porting.unflatten(
+        port_sam_state_dict(gm.synth_state_dict(shapes), cfg)
+    )
+    sam = EfficientViTSam(cfg)
+    img, box_pts, box_lbl, pt_pts, pt_lbl = gm.sam_inputs()
+    jimg = jnp.asarray(to_nhwc(img))
+
+    emb = jax.jit(lambda p, x: sam.apply({"params": p}, x,
+                                         method=sam.encode_image))(params, jimg)
+    _scaled_close(to_nchw(emb)[:, ::32, ::8, ::8], goldens["sam_mid.emb_slice"],
+                  2e-4, "sam emb")
+
+    run = jax.jit(
+        lambda p, x, pts, lbl, multi: sam.apply({"params": p}, x, pts, lbl, multi),
+        static_argnames="multi",
+    )
+    masks, iou = run(params, jimg, jnp.asarray(box_pts), jnp.asarray(box_lbl),
+                     multi=True)
+    _scaled_close(masks, goldens["sam_mid.box_masks"], 2e-4, "sam box masks")
+    _scaled_close(iou, goldens["sam_mid.box_iou"], 2e-4, "sam box iou")
+    masks1, iou1 = run(params, jimg, jnp.asarray(pt_pts), jnp.asarray(pt_lbl),
+                       multi=False)
+    _scaled_close(masks1, goldens["sam_mid.pt_mask"], 2e-4, "sam pt mask")
+    _scaled_close(iou1, goldens["sam_mid.pt_iou"], 2e-4, "sam pt iou")
+
+
 @pytest.mark.parametrize("steps,order", list(gm.UNIPC_CASES))
 def test_unipc_matches_golden_trajectory(goldens, steps, order):
     from edgestyle_tpu.schedulers.ddpm import NoiseSchedule
