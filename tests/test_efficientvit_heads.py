@@ -27,7 +27,7 @@ def test_b_backbone_geometry():
 
 def test_cls_head():
     bb = EfficientViTBackbone(TINY_B)
-    head = ClsHead(width=32, num_classes=10)
+    head = ClsHead(widths=(32, 40), num_classes=10)
     x = jnp.zeros((2, 64, 64, 3))
     bp = bb.init(jax.random.key(0), x)
     feats = bb.apply(bp, x)

@@ -38,6 +38,9 @@ class LayerNorm2dT(nn.LayerNorm):
         return out * self.weight.view(1, -1, 1, 1) + self.bias.view(1, -1, 1, 1)
 
 
+ACTS = {"gelu": GELU_TANH, "hswish": nn.Hardswish(), None: None}
+
+
 class ConvLayerT(nn.Module):
     def __init__(self, cin, cout, k=3, stride=1, groups=1, bias=False,
                  norm="bn", act="gelu"):
@@ -45,7 +48,7 @@ class ConvLayerT(nn.Module):
         self.conv = nn.Conv2d(cin, cout, k, stride, padding=k // 2,
                               groups=groups, bias=bias)
         self.norm = nn.BatchNorm2d(cout) if norm == "bn" else None
-        self.act = GELU_TANH if act == "gelu" else None
+        self.act = ACTS[act]
 
     def forward(self, x):
         x = self.conv(x)
@@ -159,11 +162,11 @@ class LiteMLAT(nn.Module):
 
 
 class EfficientViTBlockT(nn.Module):
-    def __init__(self, c, dim=32, expand=6):
+    def __init__(self, c, dim=32, expand=6, act="gelu"):
         super().__init__()
         self.context_module = ResidualT(LiteMLAT(c, dim), shortcut=True)
         self.local_module = ResidualT(
-            MBConvT(c, c, expand=expand, fewer_norm=True), shortcut=True
+            MBConvT(c, c, expand=expand, fewer_norm=True, act=act), shortcut=True
         )
 
     def forward(self, x):
@@ -468,3 +471,152 @@ class EfficientViTSamT(nn.Module):
         sparse, dense = self.prompt_encoder(points, labels)
         image_pe = self.prompt_encoder.dense_pe().permute(2, 0, 1).unsqueeze(0)
         return self.mask_decoder(emb, image_pe, sparse, dense, multimask_output)
+
+
+# ---------------------------------------------------------------------------
+# b-series backbone + seg/cls heads (efficientvit backbone.py:37-160,
+# seg.py:34-106, cls.py:28-51) — the remaining model-zoo surface.
+# ---------------------------------------------------------------------------
+
+
+class DSConvT(nn.Module):
+    def __init__(self, c, act="hswish"):
+        super().__init__()
+        self.depth_conv = ConvLayerT(c, c, 3, groups=c, norm="bn", act=act)
+        self.point_conv = ConvLayerT(c, c, 1, norm="bn", act=None)
+
+    def forward(self, x):
+        return self.point_conv(self.depth_conv(x))
+
+
+class BBackboneT(nn.Module):
+    """EfficientViTBackbone (b-series): input_stem + 4 stages."""
+
+    def __init__(self, widths, depths, dim=16, expand=4, act="hswish"):
+        super().__init__()
+        w, d = widths, depths
+        stem = [ConvLayerT(3, w[0], 3, 2, norm="bn", act=act)]
+        stem += [ResidualT(DSConvT(w[0], act), shortcut=True) for _ in range(d[0])]
+        self.input_stem = OpSeqT(stem)
+        stages = []
+        cin = w[0]
+        for sid in (1, 2):
+            ops = []
+            for i in range(d[sid]):
+                stride = 2 if i == 0 else 1
+                ops.append(ResidualT(
+                    MBConvT(cin if i == 0 else w[sid], w[sid], stride, expand,
+                            act=act),
+                    shortcut=stride == 1,
+                ))
+            cin = w[sid]
+            stages.append(OpSeqT(ops))
+        for sid in (3, 4):
+            ops = [ResidualT(
+                MBConvT(cin, w[sid], 2, expand, fewer_norm=True, act=act),
+                shortcut=False,
+            )]
+            ops += [EfficientViTBlockT(w[sid], dim, expand, act)
+                    for _ in range(d[sid])]
+            cin = w[sid]
+            stages.append(OpSeqT(ops))
+        self.stages = nn.ModuleList(stages)
+
+    def forward(self, x):
+        feats = {"stage0": self.input_stem(x)}
+        x = feats["stage0"]
+        for sid, stage in enumerate(self.stages, 1):
+            x = stage(x)
+            feats[f"stage{sid}"] = x
+        feats["stage_final"] = x
+        return feats
+
+
+class SegHeadT(nn.Module):
+    """DAGBlock layout: input_ops (stage4/3/2; bare conv when factor==1),
+    middle residual MBConvs, output_ops [final_expand?, classifier]."""
+
+    def __init__(self, in_chs, head_width, head_depth, n_classes,
+                 expand=4, final_expand=4, act="hswish", middle_op="mbconv"):
+        super().__init__()
+        c4, c3, c2 = in_chs
+        self.input_ops = nn.ModuleList([
+            OpSeqT([ConvLayerT(c4, head_width, 1, norm="bn", act=None)]),
+            OpSeqT([ConvLayerT(c3, head_width, 1, norm="bn", act=None)]),
+            ConvLayerT(c2, head_width, 1, norm="bn", act=None),  # factor 1
+        ])
+        mk = (lambda: MBConvT(head_width, head_width, expand=expand, act=act)
+              ) if middle_op == "mbconv" else (
+              lambda: FusedMBConvT(head_width, head_width, expand=expand))
+        self.middle = OpSeqT([
+            ResidualT(mk(), shortcut=True) for _ in range(head_depth)
+        ])
+        out_ops = []
+        if final_expand is not None:
+            out_ops.append(ConvLayerT(head_width, head_width * final_expand, 1,
+                                      norm="bn", act=act))
+        out_ops.append(ConvLayerT(head_width * (final_expand or 1), n_classes,
+                                  1, bias=True, norm=None, act=None))
+        self.output_ops = nn.ModuleList([OpSeqT(out_ops)])
+
+    def forward(self, feats):
+        target = feats["stage2"].shape[-2:]
+        merged = None
+        for op, fid in zip(self.input_ops, ("stage4", "stage3", "stage2")):
+            y = op(feats[fid])
+            if y.shape[-2:] != target:
+                y = F.interpolate(y, size=target, mode="bicubic",
+                                  align_corners=False)
+            merged = y if merged is None else merged + y
+        return self.output_ops[0](self.middle(merged))
+
+
+class LinearLayerT(nn.Module):
+    def __init__(self, cin, cout, bias=True, norm=None, act=None):
+        super().__init__()
+        self.linear = nn.Linear(cin, cout, bias)
+        self.norm = nn.LayerNorm(cout) if norm == "ln" else None
+        self.act = ACTS[act]
+
+    def forward(self, x):
+        x = self.linear(x)
+        if self.norm is not None:
+            x = self.norm(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class _PoolT(nn.Module):
+    def forward(self, x):
+        return F.adaptive_avg_pool2d(x, 1).flatten(1)
+
+
+class ClsHeadT(nn.Module):
+    def __init__(self, cin, widths, n_classes=1000, act="hswish"):
+        super().__init__()
+        self.op_list = nn.ModuleList([
+            ConvLayerT(cin, widths[0], 1, norm="bn", act=act),
+            _PoolT(),
+            LinearLayerT(widths[0], widths[1], bias=False, norm="ln", act=act),
+            LinearLayerT(widths[1], n_classes, bias=True),
+        ])
+
+    def forward(self, feats):
+        x = feats["stage_final"]
+        for op in self.op_list:
+            x = op(x)
+        return x
+
+
+class EfficientViTSegT(nn.Module):
+    def __init__(self, backbone, head):
+        super().__init__()
+        self.backbone = backbone
+        self.head = head
+
+    def forward(self, x):
+        return self.head(self.backbone(x))
+
+
+EfficientViTClsT = EfficientViTSegT  # same backbone/head assembly
