@@ -40,10 +40,12 @@ class BackboneConfig:
 L0 = BackboneConfig(depth_list=(1, 1, 1, 4, 4))
 L1 = BackboneConfig(depth_list=(1, 1, 1, 6, 6))
 L2 = BackboneConfig(depth_list=(1, 2, 2, 8, 8))
+L3 = BackboneConfig(width_list=(64, 128, 256, 512, 1024), depth_list=(1, 2, 2, 8, 8))
 
 
 class EfficientViTLargeBackbone(nn.Module):
     cfg: BackboneConfig = L2
+    norm_eps: float = 1e-5  # reference set_norm_eps (SAM runs 1e-6, l-seg/cls 1e-7)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -53,12 +55,12 @@ class EfficientViTLargeBackbone(nn.Module):
         out: Dict[str, jax.Array] = {"input": x}
 
         # stage 0: stem + d0 × residual ResBlock(expand 1)
-        x = ConvLayer(w[0], 3, 2, norm="bn", act=cfg.act, dtype=self.dtype,
-                      name="stage0_stem")(x)
+        x = ConvLayer(w[0], 3, 2, norm="bn", act=cfg.act, norm_eps=self.norm_eps,
+                      dtype=self.dtype, name="stage0_stem")(x)
         for j in range(d[0]):
             x = x + ResBlock(
                 w[0], 1, expand_ratio=1, norm=("bn", "bn"), act=(cfg.act, None),
-                dtype=self.dtype, name=f"stage0_block_{j}",
+                norm_eps=self.norm_eps, dtype=self.dtype, name=f"stage0_block_{j}",
             )(x)
         out["stage0"] = x
 
@@ -74,6 +76,7 @@ class EfficientViTLargeBackbone(nn.Module):
                     out_channels=width,
                     stride=stride,
                     expand_ratio=expand,
+                    norm_eps=self.norm_eps,
                     dtype=self.dtype,
                 )
                 if sid <= 2:
@@ -97,11 +100,12 @@ class EfficientViTLargeBackbone(nn.Module):
         x = MBConv(
             w[4], 2, expand_ratio=24, use_bias=(True, True, False),
             norm=(None, None, "bn"), act=(cfg.act, cfg.act, None),
-            dtype=self.dtype, name="stage4_block_0",
+            norm_eps=self.norm_eps, dtype=self.dtype, name="stage4_block_0",
         )(x)
         for j in range(d[4]):
             x = EfficientViTBlock(
-                dim=cfg.qkv_dim, expand_ratio=6, act=cfg.act, dtype=self.dtype,
+                dim=cfg.qkv_dim, expand_ratio=6, act=cfg.act,
+                norm_eps=self.norm_eps, dtype=self.dtype,
                 name=f"stage4_vit_{j}",
             )(x)
         out["stage4"] = x

@@ -47,6 +47,7 @@ class EfficientViTBackbone(nn.Module):
     """b-series (reference backbone.py:37-160)."""
 
     cfg: BBackboneConfig = B1
+    norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -56,11 +57,12 @@ class EfficientViTBackbone(nn.Module):
         act = cfg.act
         out = {"input": x}
 
-        x = ConvLayer(w[0], 3, 2, norm="bn", act=act, dtype=self.dtype, name="stem_in")(x)
+        x = ConvLayer(w[0], 3, 2, norm="bn", act=act, norm_eps=self.norm_eps,
+                      dtype=self.dtype, name="stem_in")(x)
         for j in range(d[0]):
             x = x + DSConv(
                 w[0], 1, use_bias=(False, False), norm=("bn", "bn"), act=(act, None),
-                dtype=self.dtype, name=f"stem_{j}",
+                norm_eps=self.norm_eps, dtype=self.dtype, name=f"stem_{j}",
             )(x)
         out["stage0"] = x
 
@@ -70,7 +72,8 @@ class EfficientViTBackbone(nn.Module):
                 blk = MBConv(
                     w[sid], stride, expand_ratio=cfg.expand_ratio,
                     norm=("bn",) * 3, act=(act, act, None),
-                    dtype=self.dtype, name=f"stage{sid}_block_{j}",
+                    norm_eps=self.norm_eps, dtype=self.dtype,
+                    name=f"stage{sid}_block_{j}",
                 )
                 x = blk(x) if stride == 2 else x + blk(x)
             out[f"stage{sid}"] = x
@@ -79,12 +82,14 @@ class EfficientViTBackbone(nn.Module):
             x = MBConv(
                 w[sid], 2, expand_ratio=cfg.expand_ratio,
                 use_bias=(True, True, False), norm=(None, None, "bn"),
-                act=(act, act, None), dtype=self.dtype, name=f"stage{sid}_down",
+                act=(act, act, None), norm_eps=self.norm_eps, dtype=self.dtype,
+                name=f"stage{sid}_down",
             )(x)
             for j in range(d[sid]):
                 x = EfficientViTBlock(
                     dim=cfg.dim, expand_ratio=cfg.expand_ratio, act=act,
-                    dtype=self.dtype, name=f"stage{sid}_vit_{j}",
+                    norm_eps=self.norm_eps, dtype=self.dtype,
+                    name=f"stage{sid}_vit_{j}",
                 )(x)
             out[f"stage{sid}"] = x
         out["stage_final"] = x
@@ -101,6 +106,7 @@ class ClsHead(nn.Module):
     widths: Tuple[int, int] = (1024, 1280)
     num_classes: int = 1000
     act: str = "hswish"
+    norm_eps: float = 1e-5  # l-series zoo runs 1e-7 (cls_model_zoo.py:70)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -110,11 +116,11 @@ class ClsHead(nn.Module):
 
         x = feats["stage_final"]
         x = ConvLayer(self.widths[0], 1, norm="bn", act=self.act,
-                      dtype=self.dtype, name="conv")(x)
+                      norm_eps=self.norm_eps, dtype=self.dtype, name="conv")(x)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.widths[1], use_bias=False, dtype=self.dtype,
                      name="fc1")(x)
-        x = act_fn(self.act)(LayerNorm(name="norm")(x))
+        x = act_fn(self.act)(LayerNorm(eps=self.norm_eps, name="norm")(x))
         return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(x)
 
 
@@ -132,6 +138,7 @@ class SegHead(nn.Module):
     middle_op: str = "mbconv"  # 'mbconv' (b-series) | 'fmbconv' (l-series)
     final_expand: float | None = 4
     act: str = "hswish"
+    norm_eps: float = 1e-5  # l-series zoo runs 1e-7 (seg_model_zoo.py:61)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -143,7 +150,8 @@ class SegHead(nn.Module):
         merged = None
         for fid in ("stage4", "stage3", "stage2"):
             y = ConvLayer(self.head_width, 1, norm="bn", act=None,
-                          dtype=self.dtype, name=f"input_{fid}")(feats[fid])
+                          norm_eps=self.norm_eps, dtype=self.dtype,
+                          name=f"input_{fid}")(feats[fid])
             # torch-exact bicubic, matching the reference UpSampleLayer
             # (ops/resize.py — see SamNeck note)
             y = torch_bicubic_resize(y, tuple(target))
@@ -154,19 +162,20 @@ class SegHead(nn.Module):
                 blk = MBConv(
                     self.head_width, expand_ratio=self.expand_ratio,
                     norm=("bn",) * 3, act=(self.act, self.act, None),
-                    dtype=self.dtype, name=f"middle_{j}",
+                    norm_eps=self.norm_eps, dtype=self.dtype, name=f"middle_{j}",
                 )
             else:
                 blk = FusedMBConv(
                     self.head_width, expand_ratio=self.expand_ratio,
                     norm=("bn", "bn"), act=(self.act, None),
-                    dtype=self.dtype, name=f"middle_{j}",
+                    norm_eps=self.norm_eps, dtype=self.dtype, name=f"middle_{j}",
                 )
             x = x + blk(x)
         if self.final_expand is not None:
             x = ConvLayer(
                 round(self.head_width * self.final_expand), 1, norm="bn",
-                act=self.act, dtype=self.dtype, name="final_expand",
+                act=self.act, norm_eps=self.norm_eps, dtype=self.dtype,
+                name="final_expand",
             )(x)
         return ConvLayer(
             self.num_classes, 1, use_bias=True, norm=None, act=None,

@@ -68,13 +68,13 @@ class LayerNorm2d(nn.Module):
         return ((xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias).astype(x.dtype)
 
 
-def build_norm(name: Optional[str], module_name: str):
+def build_norm(name: Optional[str], module_name: str, eps: float = 1e-5):
     if name is None:
         return None
     if name == "bn":
-        return BatchNorm2d(name=module_name)
+        return BatchNorm2d(eps=eps, name=module_name)
     if name == "ln2d":
-        return LayerNorm2d(name=module_name)
+        return LayerNorm2d(eps=eps, name=module_name)
     raise ValueError(name)
 
 
@@ -86,6 +86,7 @@ class ConvLayer(nn.Module):
     use_bias: bool = False
     norm: Optional[str] = "bn"
     act: Optional[str] = "gelu"
+    norm_eps: float = 1e-5  # reference set_norm_eps: SAM 1e-6, l-seg/cls 1e-7
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -101,7 +102,7 @@ class ConvLayer(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        norm = build_norm(self.norm, "norm")
+        norm = build_norm(self.norm, "norm", self.norm_eps)
         if norm is not None:
             x = norm(x).astype(self.dtype)
         a = act_fn(self.act)
@@ -116,6 +117,7 @@ class DSConv(nn.Module):
     use_bias: Tuple[bool, bool] = (False, False)
     norm: Tuple[Optional[str], Optional[str]] = ("bn", "bn")
     act: Tuple[Optional[str], Optional[str]] = ("relu6", None)
+    norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -123,11 +125,13 @@ class DSConv(nn.Module):
         c = x.shape[-1]
         x = ConvLayer(
             c, 3, self.stride, groups=c, use_bias=self.use_bias[0],
-            norm=self.norm[0], act=self.act[0], dtype=self.dtype, name="depth_conv",
+            norm=self.norm[0], act=self.act[0], norm_eps=self.norm_eps,
+            dtype=self.dtype, name="depth_conv",
         )(x)
         x = ConvLayer(
             self.out_channels, 1, use_bias=self.use_bias[1],
-            norm=self.norm[1], act=self.act[1], dtype=self.dtype, name="point_conv",
+            norm=self.norm[1], act=self.act[1], norm_eps=self.norm_eps,
+            dtype=self.dtype, name="point_conv",
         )(x)
         return x
 
@@ -139,6 +143,7 @@ class MBConv(nn.Module):
     use_bias: Tuple[bool, bool, bool] = (False, False, False)
     norm: Tuple[Optional[str], ...] = ("bn", "bn", "bn")
     act: Tuple[Optional[str], ...] = ("relu6", "relu6", None)
+    norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -146,15 +151,17 @@ class MBConv(nn.Module):
         mid = round(x.shape[-1] * self.expand_ratio)
         x = ConvLayer(
             mid, 1, use_bias=self.use_bias[0], norm=self.norm[0], act=self.act[0],
-            dtype=self.dtype, name="inverted_conv",
+            norm_eps=self.norm_eps, dtype=self.dtype, name="inverted_conv",
         )(x)
         x = ConvLayer(
             mid, 3, self.stride, groups=mid, use_bias=self.use_bias[1],
-            norm=self.norm[1], act=self.act[1], dtype=self.dtype, name="depth_conv",
+            norm=self.norm[1], act=self.act[1], norm_eps=self.norm_eps,
+            dtype=self.dtype, name="depth_conv",
         )(x)
         x = ConvLayer(
             self.out_channels, 1, use_bias=self.use_bias[2], norm=self.norm[2],
-            act=self.act[2], dtype=self.dtype, name="point_conv",
+            act=self.act[2], norm_eps=self.norm_eps, dtype=self.dtype,
+            name="point_conv",
         )(x)
         return x
 
@@ -166,6 +173,7 @@ class FusedMBConv(nn.Module):
     use_bias: Tuple[bool, bool] = (False, False)
     norm: Tuple[Optional[str], Optional[str]] = ("bn", "bn")
     act: Tuple[Optional[str], Optional[str]] = ("relu6", None)
+    norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -173,11 +181,13 @@ class FusedMBConv(nn.Module):
         mid = round(x.shape[-1] * self.expand_ratio)
         x = ConvLayer(
             mid, 3, self.stride, use_bias=self.use_bias[0], norm=self.norm[0],
-            act=self.act[0], dtype=self.dtype, name="spatial_conv",
+            act=self.act[0], norm_eps=self.norm_eps, dtype=self.dtype,
+            name="spatial_conv",
         )(x)
         x = ConvLayer(
             self.out_channels, 1, use_bias=self.use_bias[1], norm=self.norm[1],
-            act=self.act[1], dtype=self.dtype, name="point_conv",
+            act=self.act[1], norm_eps=self.norm_eps, dtype=self.dtype,
+            name="point_conv",
         )(x)
         return x
 
@@ -189,6 +199,7 @@ class ResBlock(nn.Module):
     use_bias: Tuple[bool, bool] = (False, False)
     norm: Tuple[Optional[str], Optional[str]] = ("bn", "bn")
     act: Tuple[Optional[str], Optional[str]] = ("relu6", None)
+    norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -196,11 +207,11 @@ class ResBlock(nn.Module):
         mid = round(x.shape[-1] * self.expand_ratio)
         x = ConvLayer(
             mid, 3, self.stride, use_bias=self.use_bias[0], norm=self.norm[0],
-            act=self.act[0], dtype=self.dtype, name="conv1",
+            act=self.act[0], norm_eps=self.norm_eps, dtype=self.dtype, name="conv1",
         )(x)
         x = ConvLayer(
             self.out_channels, 3, 1, use_bias=self.use_bias[1], norm=self.norm[1],
-            act=self.act[1], dtype=self.dtype, name="conv2",
+            act=self.act[1], norm_eps=self.norm_eps, dtype=self.dtype, name="conv2",
         )(x)
         return x
 
@@ -240,6 +251,7 @@ class LiteMLA(nn.Module):
     heads_ratio: float = 1.0
     scales: Tuple[int, ...] = (5,)
     norm: Tuple[Optional[str], Optional[str]] = (None, "bn")
+    norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-15
     impl: str = "auto"  # 'xla' | 'pallas' | 'auto'
@@ -251,7 +263,7 @@ class LiteMLA(nn.Module):
         total = heads * self.dim
         qkv = ConvLayer(
             3 * total, 1, use_bias=False, norm=self.norm[0], act=None,
-            dtype=self.dtype, name="qkv",
+            norm_eps=self.norm_eps, dtype=self.dtype, name="qkv",
         )(x)
         multi = [qkv]
         for i, scale in enumerate(self.scales):
@@ -274,7 +286,7 @@ class LiteMLA(nn.Module):
         out = jnp.concatenate(outs, axis=-1)
         out = ConvLayer(
             self.out_channels, 1, use_bias=False, norm=self.norm[1], act=None,
-            dtype=self.dtype, name="proj",
+            norm_eps=self.norm_eps, dtype=self.dtype, name="proj",
         )(out)
         return out
 
@@ -285,16 +297,18 @@ class EfficientViTBlock(nn.Module):
     dim: int = 32
     expand_ratio: float = 6
     act: str = "hswish"
+    norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        x = x + LiteMLA(c, dim=self.dim, norm=(None, "bn"), dtype=self.dtype,
+        x = x + LiteMLA(c, dim=self.dim, norm=(None, "bn"),
+                        norm_eps=self.norm_eps, dtype=self.dtype,
                         name="context_module")(x)
         x = x + MBConv(
             c, expand_ratio=self.expand_ratio, use_bias=(True, True, False),
             norm=(None, None, "bn"), act=(self.act, self.act, None),
-            dtype=self.dtype, name="local_module",
+            norm_eps=self.norm_eps, dtype=self.dtype, name="local_module",
         )(x)
         return x

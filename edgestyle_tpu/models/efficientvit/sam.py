@@ -47,6 +47,7 @@ class SamNeck(nn.Module):
     in_channels: Tuple[int, ...] = (512, 256, 128)
     fids: Tuple[str, ...] = ("stage4", "stage3", "stage2")
     feature_hw: int = 64
+    norm_eps: float = 1e-6  # reference create_sam_model set_norm_eps(1e-6)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -54,7 +55,8 @@ class SamNeck(nn.Module):
         merged = None
         for i, fid in enumerate(self.fids):
             y = ConvLayer(
-                self.head_width, 1, norm="bn", act=None, dtype=self.dtype,
+                self.head_width, 1, norm="bn", act=None,
+                norm_eps=self.norm_eps, dtype=self.dtype,
                 name=f"input_{fid}",
             )(feats[fid])
             # torch-exact bicubic (a=-0.75): jax.image.resize's a=-0.5
@@ -69,12 +71,14 @@ class SamNeck(nn.Module):
             if self.middle_op == "fmbconv":
                 blk = FusedMBConv(
                     self.head_width, expand_ratio=1, norm=("bn", "bn"),
-                    act=("gelu", None), dtype=self.dtype, name=f"middle_{j}",
+                    act=("gelu", None), norm_eps=self.norm_eps,
+                    dtype=self.dtype, name=f"middle_{j}",
                 )
             else:
                 blk = MBConv(
                     self.head_width, expand_ratio=4, norm=("bn",) * 3,
-                    act=("gelu", "gelu", None), dtype=self.dtype, name=f"middle_{j}",
+                    act=("gelu", "gelu", None), norm_eps=self.norm_eps,
+                    dtype=self.dtype, name=f"middle_{j}",
                 )
             x = x + blk(x)
         x = ConvLayer(
@@ -87,13 +91,16 @@ class SamNeck(nn.Module):
 class SamImageEncoder(nn.Module):
     backbone_cfg: BackboneConfig = L2
     neck_depth: int = 12
+    norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        feats = EfficientViTLargeBackbone(self.backbone_cfg, self.dtype, name="backbone")(x)
-        y = SamNeck(head_depth=self.neck_depth, dtype=self.dtype, name="neck")(feats)
-        return LayerNorm2d(name="norm")(y)
+        feats = EfficientViTLargeBackbone(
+            self.backbone_cfg, self.norm_eps, self.dtype, name="backbone")(x)
+        y = SamNeck(head_depth=self.neck_depth, norm_eps=self.norm_eps,
+                    dtype=self.dtype, name="neck")(feats)
+        return LayerNorm2d(eps=self.norm_eps, name="norm")(y)
 
 
 # ------------------------------------------------------------- prompt encoder
@@ -212,6 +219,7 @@ class Attention(nn.Module):
 class TwoWayAttentionBlock(nn.Module):
     skip_first_layer_pe: bool = False
     mlp_dim: int = 2048
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
@@ -222,27 +230,28 @@ class TwoWayAttentionBlock(nn.Module):
         else:
             q = queries + query_pe
             queries = queries + Attention(name="self_attn")(q, q, queries)
-        queries = LayerNorm(name="norm1")(queries)
+        queries = LayerNorm(eps=self.norm_eps, name="norm1")(queries)
 
         q = queries + query_pe
         k = keys + key_pe
         queries = queries + Attention(downsample_rate=2, name="cross_attn_token_to_image")(q, k, keys)
-        queries = LayerNorm(name="norm2")(queries)
+        queries = LayerNorm(eps=self.norm_eps, name="norm2")(queries)
 
         h = nn.Dense(self.mlp_dim, name="mlp_lin1")(queries)
         h = nn.Dense(256, name="mlp_lin2")(jax.nn.relu(h))
-        queries = LayerNorm(name="norm3")(queries + h)
+        queries = LayerNorm(eps=self.norm_eps, name="norm3")(queries + h)
 
         q = queries + query_pe
         k = keys + key_pe
         keys = keys + Attention(downsample_rate=2, name="cross_attn_image_to_token")(k, q, queries)
-        keys = LayerNorm(name="norm4")(keys)
+        keys = LayerNorm(eps=self.norm_eps, name="norm4")(keys)
         return queries, keys
 
 
 class TwoWayTransformer(nn.Module):
     depth: int = 2
     mlp_dim: int = 2048
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, image_embedding, image_pe, point_embedding):
@@ -255,12 +264,12 @@ class TwoWayTransformer(nn.Module):
         for i in range(self.depth):
             queries, keys = TwoWayAttentionBlock(
                 skip_first_layer_pe=(i == 0), mlp_dim=self.mlp_dim,
-                name=f"layers_{i}",
+                norm_eps=self.norm_eps, name=f"layers_{i}",
             )(queries, keys, point_embedding, key_pe)
         q = queries + point_embedding
         k = keys + key_pe
         queries = queries + Attention(downsample_rate=2, name="final_attn_token_to_image")(q, k, keys)
-        queries = LayerNorm(name="norm_final_attn")(queries)
+        queries = LayerNorm(eps=self.norm_eps, name="norm_final_attn")(queries)
         return queries, keys
 
 
@@ -268,6 +277,7 @@ class MaskDecoder(nn.Module):
     num_multimask_outputs: int = 3
     transformer_dim: int = 256
     iou_head_depth: int = 3
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt,
@@ -287,13 +297,13 @@ class MaskDecoder(nn.Module):
         )
         src = image_embeddings + dense_prompt
 
-        hs, src_out = TwoWayTransformer(name="transformer")(src, image_pe, tokens)
+        hs, src_out = TwoWayTransformer(norm_eps=self.norm_eps, name="transformer")(src, image_pe, tokens)
         iou_tok_out = hs[:, 0]
         mask_toks_out = hs[:, 1 : 1 + n_mask_tokens]
 
         hgrid = src_out.reshape(b, 64, 64, 256)
         up = nn.ConvTranspose(64, (2, 2), strides=(2, 2), name="upscale_conv1")(hgrid)
-        up = LayerNorm2d(name="upscale_norm")(up).astype(up.dtype)
+        up = LayerNorm2d(eps=self.norm_eps, name="upscale_norm")(up).astype(up.dtype)
         up = jax.nn.gelu(up, approximate=False)
         up = nn.ConvTranspose(32, (2, 2), strides=(2, 2), name="upscale_conv2")(up)
         up = jax.nn.gelu(up, approximate=False)  # (B,256,256,32)
@@ -320,6 +330,9 @@ class SamConfig:
     neck_depth: int = 12
     image_size: int = 512  # EfficientViT-SAM runs at 512 (reference sam.py:214)
     prompt_input_size: int = 1024
+    # the reference zoo runs every SAM norm at eps 1e-6
+    # (sam_model_zoo.py:44 set_norm_eps)
+    norm_eps: float = 1e-6
 
 
 SAM_L0 = SamConfig(backbone=L0, neck_depth=4)
@@ -343,10 +356,10 @@ class EfficientViTSam(nn.Module):
 
     def setup(self):
         self.image_encoder = SamImageEncoder(
-            self.cfg.backbone, self.cfg.neck_depth, self.dtype
+            self.cfg.backbone, self.cfg.neck_depth, self.cfg.norm_eps, self.dtype
         )
         self.prompt_encoder = PromptEncoder(input_size=self.cfg.prompt_input_size)
-        self.mask_decoder = MaskDecoder()
+        self.mask_decoder = MaskDecoder(norm_eps=self.cfg.norm_eps)
 
     def encode_image(self, image):
         return self.image_encoder(image)
@@ -518,14 +531,12 @@ def _mb(m, tp, fp, norms=(True, True, True)):
     _conv_layer(m, tp + r"\.point_conv", fp + ".point_conv", norms[2])
 
 
-def port_sam_state_dict(sd, cfg: SamConfig = SAM_L2):
-    """EfficientViTSam torch state dict → flat {path: array}."""
-    from edgestyle_tpu.core.porting import KeyMapper, conv_transpose_kernel
-
-    m = KeyMapper()
-    w, d = cfg.backbone.width_list, cfg.backbone.depth_list
-    B = r"image_encoder\.backbone\.stages"
-    bo = "image_encoder.backbone"
+def large_backbone_rules(m, depth_list, torch_prefix: str, flax_prefix: str):
+    """Mapper rules for an EfficientViTLargeBackbone under the given
+    prefixes (shared by the SAM port mapper and the seg/cls zoo)."""
+    d = depth_list
+    B = torch_prefix + r"\.stages"
+    bo = flax_prefix
 
     _conv_layer(m, B + r"\.0\.op_list\.0", f"{bo}.stage0_stem")
     for j in range(d[0]):
@@ -549,6 +560,15 @@ def port_sam_state_dict(sd, cfg: SamConfig = SAM_L2):
         m.conv(tp + r"\.context_module\.main\.aggreg\.0\.1", fp + ".context_module.aggreg_0_point")
         _conv_layer(m, tp + r"\.context_module\.main\.proj", fp + ".context_module.proj")
         _mb(m, tp + r"\.local_module\.main", fp + ".local_module", (False, False, True))
+
+
+def port_sam_state_dict(sd, cfg: SamConfig = SAM_L2):
+    """EfficientViTSam torch state dict → flat {path: array}."""
+    from edgestyle_tpu.core.porting import KeyMapper, conv_transpose_kernel
+
+    m = KeyMapper()
+    large_backbone_rules(m, cfg.backbone.depth_list, r"image_encoder\.backbone",
+                         "image_encoder.backbone")
 
     # neck (DAG): input_ops 0/1/2 ↔ fids stage4/stage3/stage2
     for i, fid in enumerate(("stage4", "stage3", "stage2")):

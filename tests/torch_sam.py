@@ -465,6 +465,8 @@ class EfficientViTSamT(nn.Module):
         self.image_encoder = ImageEncoderT(widths, depths, neck_depth, qkv_dim)
         self.prompt_encoder = PromptEncoderT()
         self.mask_decoder = MaskDecoderT()
+        # the reference zoo runs every SAM norm at eps 1e-6
+        set_norm_eps_t(self, 1e-6)
 
     def forward(self, image, points, labels, multimask_output=True):
         emb = self.image_encoder(image)
@@ -620,3 +622,10 @@ class EfficientViTSegT(nn.Module):
 
 
 EfficientViTClsT = EfficientViTSegT  # same backbone/head assembly
+
+
+def set_norm_eps_t(model: nn.Module, eps: float) -> None:
+    """Reference set_norm_eps (efficientvit norm.py:136-140)."""
+    for m in model.modules():
+        if isinstance(m, (nn.LayerNorm, nn.modules.batchnorm._BatchNorm)):
+            m.eps = eps
