@@ -33,8 +33,10 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="EdgeStyle-TPU ControlLoRA trainer")
     # model sources
-    p.add_argument("--pretrained_model", type=str, default=None,
-                   help="HF-layout dir with unet/ and text_encoder/")
+    p.add_argument("--pretrained_model", "--pretrained_model_name_or_path",
+                   type=str, default=None, dest="pretrained_model",
+                   help="HF-layout dir with unet/ and text_encoder/ "
+                        "(reference flag name accepted as alias)")
     p.add_argument("--vae", type=str, default=None)
     p.add_argument("--openpose_controlnet", type=str, default=None)
     p.add_argument("--random_init", action="store_true",
@@ -57,25 +59,73 @@ def parse_args(argv=None):
     # optimization (reference recipe: prodigy lr 1.0, snr_gamma 5)
     p.add_argument("--optimizer", type=str, default="prodigy", choices=["prodigy", "adamw"])
     p.add_argument("--learning_rate", type=float, default=1.0)
+    p.add_argument("--scale_lr", action="store_true", default=False,
+                   help="lr *= grad_accum * batch * device_count (train...py:400-407)")
     p.add_argument("--lr_warmup_steps", type=int, default=0)
     p.add_argument("--snr_gamma", type=float, default=5.0)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--adam_weight_decay", type=float, default=1e-4)
-    p.add_argument("--lr_scheduler", type=str, default="cosine_annealing")
-    p.add_argument("--max_train_steps", type=int, default=20000)
+    p.add_argument("--prodigy_beta3", type=float, default=None)
+    p.add_argument("--prodigy_decouple", type=_ref_bool, default=True)
+    p.add_argument("--prodigy_use_bias_correction", type=_ref_bool, default=True)
+    p.add_argument("--prodigy_safeguard_warmup", type=_ref_bool, default=True)
+    p.add_argument("--lr_scheduler", type=str, default="cosine_annealing",
+                   help="diffusers get_scheduler names; cosine_annealing is "
+                        "the legacy alias of cosine")
+    p.add_argument("--lr_num_cycles", type=float, default=1.0)
+    p.add_argument("--lr_power", type=float, default=1.0)
+    p.add_argument("--num_train_epochs", type=int, default=1)
+    p.add_argument("--max_train_steps", type=int, default=None,
+                   help="None -> num_train_epochs * steps-per-epoch "
+                        "(reference train...py:1034-1038)")
+    p.add_argument("--max_train_samples", type=int, default=None)
     p.add_argument("--controllora_linear_rank", type=int, default=32)
+    p.add_argument("--controllora_conv2d_rank", type=int, default=0,
+                   help="adapt trunk convs too; >0 uses the LINEAR rank for "
+                        "the adapters (the reference quirk, controllora.py:561-569)")
+    p.add_argument("--mixed_precision", type=str, default="bf16",
+                   choices=["no", "fp16", "bf16"],
+                   help="fp16 runs as bf16 on TPU (no native fp16 compute)")
     p.add_argument("--seed", type=int, default=0)
     # checkpointing / logging
     p.add_argument("--output_dir", type=str, default="./edgestyle-tpu-out")
+    p.add_argument("--logging_dir", type=str, default="logs",
+                   help="TensorBoard dir relative to --output_dir")
     p.add_argument("--checkpointing_steps", type=int, default=100)
     p.add_argument("--checkpoints_total_limit", type=int, default=5)
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
     p.add_argument("--validation_steps", type=int, default=0)
+    p.add_argument("--num_validation_images", type=int, default=4)
     p.add_argument("--logging_steps", type=int, default=10)
+    # accepted for reference-CLI compatibility; no-ops on this stack
+    # (HF download plumbing / torch dataloader / accelerate trackers)
+    for flag, default in (("--revision", None), ("--variant", None),
+                          ("--tokenizer_name", None), ("--cache_dir", None),
+                          ("--report_to", "tensorboard"),
+                          ("--tracker_project_name", "edgestyle-tpu")):
+        p.add_argument(flag, type=str, default=default,
+                       help="compat no-op (HF/accelerate plumbing)")
+    p.add_argument("--dataloader_num_workers", type=int, default=0,
+                   help="compat no-op (host input pipeline is numpy-synchronous)")
+    p.add_argument("--allow_tf32", action="store_true",
+                   help="compat no-op (TPU matmuls are bf16/fp32 via XLA)")
+    p.add_argument("--set_grads_to_none", action="store_true",
+                   help="compat no-op (functional grads are always fresh)")
+    p.add_argument("--controllora_use_vae", action="store_true", default=True,
+                   help="compat: the VAE conditioning embedding is the "
+                        "recipe default here (README.md:75) and always on")
     args = p.parse_args(argv)
     if args.resolution % 8 != 0:
         p.error("resolution must be divisible by 8")  # train...py:640-643
     return args
+
+
+def _ref_bool(v: str) -> bool:
+    """Reference-style bool flags take =True/=False values (README.md:84)."""
+    return str(v).lower() in ("1", "true", "yes")
 
 
 def check_batch_divisible(train_batch_size: int, device_count: int) -> None:
@@ -115,7 +165,18 @@ def main(argv=None):
     )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"))
+    # fp16 has no native TPU compute path; it runs as bf16 (same dynamic
+    # range class as the reference's mixed_precision=fp16 intent)
+    dtype = "float32" if args.mixed_precision == "no" else "bfloat16"
+    from edgestyle_tpu.models.vae import VAEConfig
+
+    # sample_size must follow --resolution: fusion-block LayerNorm scales
+    # are per-pixel (reference hard-codes 512 sizes,
+    # edgestyle_multicontrolnet.py:72-102; here they derive from the VAE
+    # sample size, so smoke runs at other resolutions init consistently)
+    pipe = EdgeStylePipeline(
+        PipelineConfig(dtype=dtype, vae=VAEConfig(sample_size=args.resolution))
+    )
     rng = jax.random.key(args.seed)
 
     if args.random_init:
@@ -135,20 +196,55 @@ def main(argv=None):
         "static": params["controlnet"]["static"],
     }
 
+    # loop length: explicit max_train_steps, else epochs x steps-per-epoch
+    # (reference train...py:1034-1038; synthetic mode has no epoch notion)
+    if args.dataset_dir:
+        from edgestyle_tpu.data.dataset import EdgeStyleLocalDataset
+
+        n_samples = len(EdgeStyleLocalDataset(args.dataset_dir,
+                                              resolution=args.resolution))
+        if args.max_train_samples:
+            n_samples = min(n_samples, args.max_train_samples)
+        steps_per_epoch = max(
+            n_samples // (args.train_batch_size * args.gradient_accumulation_steps), 1
+        )
+    else:
+        steps_per_epoch = 1000
+    max_train_steps = args.max_train_steps or (
+        args.num_train_epochs * steps_per_epoch
+    )
+    lr = args.learning_rate
+    if args.scale_lr:
+        lr *= (args.gradient_accumulation_steps * args.train_batch_size
+               * jax.device_count())
+
     tcfg = TrainConfig(
         snr_gamma=args.snr_gamma,
         max_grad_norm=args.max_grad_norm,
         optimizer=args.optimizer,
-        learning_rate=args.learning_rate,
+        learning_rate=lr,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        adam_epsilon=args.adam_epsilon,
+        lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
         lr_total_steps=(
-            args.max_train_steps if args.lr_scheduler == "cosine_annealing" else None
+            None if args.lr_scheduler in ("constant", "constant_with_warmup")
+            else max_train_steps
         ),
+        lr_num_cycles=args.lr_num_cycles,
+        lr_power=args.lr_power,
+        prodigy_beta3=args.prodigy_beta3,
+        prodigy_decouple=args.prodigy_decouple,
+        prodigy_use_bias_correction=args.prodigy_use_bias_correction,
+        prodigy_safeguard_warmup=args.prodigy_safeguard_warmup,
         weight_decay=args.adam_weight_decay,
         use_agnostic=args.use_agnostic_images,
         grad_accum=args.gradient_accumulation_steps,
     )
-    trainable = init_trainable(pipe, rng, params["unet"], args.controllora_linear_rank)
+    trainable = init_trainable(pipe, rng, params["unet"],
+                               args.controllora_linear_rank,
+                               args.controllora_conv2d_rank)
     opt = make_optimizer(tcfg)
     state = {
         "trainable": trainable,
@@ -176,6 +272,8 @@ def main(argv=None):
         from edgestyle_tpu.data.dataset import EdgeStyleLocalDataset, data_loader
 
         ds = EdgeStyleLocalDataset(args.dataset_dir, resolution=args.resolution)
+        if args.max_train_samples:
+            ds.index = ds.index[: args.max_train_samples]
         loader = data_loader(
             ds, args.train_batch_size * args.gradient_accumulation_steps,
             args.gradient_accumulation_steps, seed=args.seed,
@@ -193,13 +291,13 @@ def main(argv=None):
     try:
         from tensorboardX import SummaryWriter
 
-        writer = SummaryWriter(os.path.join(args.output_dir, "logs"))
+        writer = SummaryWriter(os.path.join(args.output_dir, args.logging_dir))
     except Exception:
         writer = None
 
     t0 = time.time()
     for step_i, batch in enumerate(loader):
-        if int(np.asarray(state["step"])) >= args.max_train_steps:
+        if int(np.asarray(state["step"])) >= max_train_steps:
             break
         batch = jax.tree.map(lambda x: jax.device_put(x, batch_sh), batch)
         rng, r = jax.random.split(rng)
@@ -218,7 +316,9 @@ def main(argv=None):
         if args.validation_steps and gstep % args.validation_steps == 0 and writer:
             from edgestyle_tpu.training.validation import log_validation
 
-            val_batch = jax.tree.map(lambda x: np.asarray(x[0]), batch)  # first microbatch
+            val_batch = jax.tree.map(
+                lambda x: np.asarray(x[0][: args.num_validation_images]), batch
+            )  # first microbatch, capped at num_validation_images
             host_trainable = jax.device_get(state["trainable"])
             log_validation(
                 pipe, frozen, host_trainable, val_batch, gstep, writer,

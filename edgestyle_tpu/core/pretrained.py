@@ -234,9 +234,18 @@ def port_controllora_state_dict(sd):
             raise KeyError(f"no trunk mapping for lora base {base!r}")
         if not flax_key.endswith(".kernel"):
             raise KeyError(f"lora base {base!r} is not a kernel target")
-        # adapter tree is keyed by the FULL kernel path (init_lora_params)
-        # torch: down (r, in), up (out, r); ours: down (in, r), up (r, out)
-        lora_flat[f"{flax_key}.{which}"] = np.ascontiguousarray(np.asarray(v).T)
+        # adapter tree is keyed by the FULL kernel path (init_lora_params).
+        # linear — torch: down (r,in), up (out,r); ours: down (in,r), up (r,out).
+        # conv (LoRAConv2dLayer, conv2d_rank>0) — torch: down k×k conv
+        # (r,in,kh,kw), up 1×1 conv (out,r,1,1); ours: down (kh,kw,in,r)
+        # HWIO, up (r,out).
+        v = np.asarray(v)
+        if v.ndim == 4:
+            t = (np.transpose(v, (2, 3, 1, 0)) if which == "down"
+                 else v[:, :, 0, 0].T)
+        else:
+            t = v.T
+        lora_flat[f"{flax_key}.{which}"] = np.ascontiguousarray(t)
     return porting.unflatten(lora_flat), heads
 
 
@@ -261,7 +270,7 @@ def _trunk_inverse_index() -> Dict[str, str]:
     regexes to maintain)."""
     from edgestyle_tpu.models.unet import _unet_common_mapper
 
-    cands = ["time_embedding.linear_1", "time_embedding.linear_2"]
+    cands = ["time_embedding.linear_1", "time_embedding.linear_2", "conv_in"]
     def attn_unit(base):
         out = []
         for a in ("attn1", "attn2"):
@@ -274,9 +283,17 @@ def _trunk_inverse_index() -> Dict[str, str]:
         for j in range(3):
             ab = f"down_blocks.{i}.attentions.{j}"
             cands += [f"{ab}.proj_in", f"{ab}.proj_out"]
-            cands.append(f"down_blocks.{i}.resnets.{j}.time_emb_proj")
+            rb = f"down_blocks.{i}.resnets.{j}"
+            cands.append(f"{rb}.time_emb_proj")
+            # conv-LoRA targets (--controllora_conv2d_rank>0): every trunk
+            # conv is LoRACompatibleConv in the reference (controllora.py:561)
+            cands += [f"{rb}.conv1", f"{rb}.conv2", f"{rb}.conv_shortcut"]
             for k in range(2):
                 cands += attn_unit(f"{ab}.transformer_blocks.{k}")
+        cands.append(f"down_blocks.{i}.downsamplers.0.conv")
+    for j in range(2):
+        cands += [f"mid_block.resnets.{j}.conv1", f"mid_block.resnets.{j}.conv2",
+                  f"mid_block.resnets.{j}.conv_shortcut"]
     cands += ["mid_block.attentions.0.proj_in", "mid_block.attentions.0.proj_out",
               "mid_block.resnets.0.time_emb_proj", "mid_block.resnets.1.time_emb_proj"]
     for k in range(2):
@@ -343,9 +360,18 @@ def export_reference_layout(path: str, trainable: Dict, unet_conv_in=None) -> st
                 base = inverse.get(flax_kernel)
                 if base is None:
                     raise KeyError(f"no torch mapping for lora path {flax_kernel}")
-                # ours: down (in,r), up (r,out) → torch (r,in)/(out,r)
-                sd[f"{base}.lora_layer.{which}.weight"] = np.ascontiguousarray(
-                    np.asarray(v).T)
+                v = np.asarray(v)
+                is_conv = flat[f"{flax_kernel}.down"].ndim == 4
+                if is_conv:
+                    # diffusers LoRAConv2dLayer: down k×k conv (r,in,kh,kw),
+                    # up 1×1 conv (out,r,1,1); ours: down (kh,kw,in,r)
+                    # HWIO, up (r,out)
+                    t = (np.transpose(v, (3, 2, 0, 1)) if which == "down"
+                         else v.T[:, :, None, None])
+                else:
+                    # linear: ours down (in,r), up (r,out) → torch (r,in)/(out,r)
+                    t = v.T
+                sd[f"{base}.lora_layer.{which}.weight"] = np.ascontiguousarray(t)
             else:
                 raise KeyError(f"unexpected lora leaf {key}")
         if unet_conv_in is not None:

@@ -345,7 +345,8 @@ LORA_LINEAR_LEAF_NAMES = ("to_q", "to_k", "to_v", "to_out", "proj_in", "proj_out
 
 def is_lora_linear_path(path: Tuple[str, ...]) -> bool:
     """LoRA targets: linear kernels in attention/ff/time-emb inside the
-    trunk. Conv kernels are excluded (reference lora_conv2d_rank=0)."""
+    trunk (the reference recipe runs lora_conv2d_rank=0; conv kernels are
+    covered separately by :func:`is_lora_conv_path`)."""
     if not path or path[-1] != "kernel":
         return False
     top = path[0]
@@ -357,18 +358,42 @@ def is_lora_linear_path(path: Tuple[str, ...]) -> bool:
     return any(leaf_module == n or leaf_module.startswith(n) for n in LORA_LINEAR_LEAF_NAMES)
 
 
-def init_lora_params(rng, trunk_params: Dict, rank: int) -> Dict:
-    """Create {path: {'down': (in,r), 'up': (r,out)}} for every targeted
-    2-D kernel. down ~ N(0, 1/rank) (diffusers LoRALinearLayer init), up = 0."""
+def is_lora_conv_path(path: Tuple[str, ...]) -> bool:
+    """Conv-LoRA targets when lora_conv2d_rank>0: EVERY conv kernel in the
+    tied trunk — the reference injects LoRAConv2dLayer into every
+    LoRACompatibleConv in _skip_layers (controllora.py:561-575)."""
+    if not path or path[-1] != "kernel":
+        return False
+    top = path[0]
+    return top == "conv_in" or top.startswith("down_blocks_") or top == "mid_block"
+
+
+def init_lora_params(rng, trunk_params: Dict, rank: int, conv_rank: int = 0) -> Dict:
+    """Create {path: {'down', 'up'}} adapters. Linears: down (in,r),
+    up (r,out), down ~ N(0, 1/rank) (diffusers LoRALinearLayer init),
+    up = 0. When ``conv_rank > 0``, every trunk conv kernel also gets an
+    adapter: down (kh,kw,in,r) (a full-kernel conv to r channels), up
+    (r,out) (the 1x1 follow-up) — NOTE the reference quirk that the conv
+    adapters' rank is the LINEAR rank; ``conv_rank`` only gates
+    (controllora.py:561-569 passes rank=lora_linear_rank)."""
     flat = _flatten_tree(trunk_params)
     lora = {}
     keys = jax.random.split(rng, max(len(flat), 1))
     i = 0
     for path, leaf in flat.items():
-        if is_lora_linear_path(path) and getattr(leaf, "ndim", 0) == 2:
+        nd = getattr(leaf, "ndim", 0)
+        if is_lora_linear_path(path) and nd == 2:
             din, dout = leaf.shape
             lora[path] = {
                 "down": jax.random.normal(keys[i], (din, rank), jnp.float32) / rank,
+                "up": jnp.zeros((rank, dout), jnp.float32),
+            }
+            i += 1
+        elif conv_rank > 0 and nd == 4 and is_lora_conv_path(path):
+            kh, kw, din, dout = leaf.shape
+            lora[path] = {
+                "down": jax.random.normal(keys[i], (kh, kw, din, rank),
+                                          jnp.float32) / rank,
                 "up": jnp.zeros((rank, dout), jnp.float32),
             }
             i += 1
@@ -376,7 +401,9 @@ def init_lora_params(rng, trunk_params: Dict, rank: int) -> Dict:
 
 
 def merge_lora(trunk_params: Dict, lora_params: Dict, scale: float = 1.0) -> Dict:
-    """Return trunk params with kernel ← kernel + scale·down@up. Runs inside
+    """Return trunk params with kernel ← kernel + scale·(down∘up). Linear:
+    down@up; conv: einsum('hwir,ro->hwio') — exactly the composition of
+    diffusers LoRAConv2dLayer's k×k down conv and 1x1 up conv. Runs inside
     jit; untouched leaves are passed through by reference."""
     flat_lora = _flatten_tree(lora_params, stop_at={"down", "up"})
 
@@ -384,7 +411,10 @@ def merge_lora(trunk_params: Dict, lora_params: Dict, scale: float = 1.0) -> Dic
     merged = dict(flat_trunk)
     for path, lp in flat_lora.items():
         base = flat_trunk[path]
-        delta = (lp["down"] @ lp["up"]) * scale
+        if lp["down"].ndim == 4:
+            delta = jnp.einsum("hwir,ro->hwio", lp["down"], lp["up"]) * scale
+        else:
+            delta = (lp["down"] @ lp["up"]) * scale
         merged[path] = (base + delta.astype(base.dtype))
     return _unflatten_tree(merged)
 

@@ -43,8 +43,18 @@ class TrainConfig:
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_epsilon: float = 1e-8
-    lr_total_steps: Optional[int] = None  # cosine annealing T_max; None = const
+    # diffusers get_scheduler names (+ legacy alias cosine_annealing);
+    # "constant" when lr_total_steps is unset
+    lr_scheduler: str = "cosine"
+    lr_total_steps: Optional[int] = None
     lr_warmup_steps: int = 0
+    lr_num_cycles: float = 1.0   # cosine_with_restarts only (reference :409)
+    lr_power: float = 1.0        # polynomial only (reference :415)
+    # prodigy knobs (reference train...py:454-495; prodigy.py implements all)
+    prodigy_beta3: Optional[float] = None
+    prodigy_decouple: bool = True
+    prodigy_use_bias_correction: bool = True
+    prodigy_safeguard_warmup: bool = True
     weight_decay: float = 1e-4
     swap_prob: float = 0.5
     use_agnostic: bool = True
@@ -66,15 +76,14 @@ BATCH_KEYS = (
 
 
 def make_optimizer(cfg: TrainConfig):
-    if cfg.lr_total_steps:
-        sched = optax.cosine_decay_schedule(
-            cfg.learning_rate, cfg.lr_total_steps, alpha=1e-6 / cfg.learning_rate
+    from edgestyle_tpu.training.schedules import build_lr_schedule
+
+    if cfg.lr_total_steps or cfg.lr_warmup_steps:
+        sched = build_lr_schedule(
+            cfg.lr_scheduler if cfg.lr_total_steps else "constant_with_warmup",
+            cfg.learning_rate, cfg.lr_warmup_steps, cfg.lr_total_steps,
+            cfg.lr_num_cycles, cfg.lr_power,
         )
-        if cfg.lr_warmup_steps:
-            sched = optax.join_schedules(
-                [optax.linear_schedule(0.0, cfg.learning_rate, cfg.lr_warmup_steps), sched],
-                [cfg.lr_warmup_steps],
-            )
     else:
         sched = cfg.learning_rate
     if cfg.optimizer == "adamw":
@@ -85,7 +94,10 @@ def make_optimizer(cfg: TrainConfig):
     else:
         inner = prodigy(
             learning_rate=sched, betas=(cfg.adam_beta1, cfg.adam_beta2),
-            eps=cfg.adam_epsilon, weight_decay=cfg.weight_decay,
+            beta3=cfg.prodigy_beta3, eps=cfg.adam_epsilon,
+            weight_decay=cfg.weight_decay, decouple=cfg.prodigy_decouple,
+            use_bias_correction=cfg.prodigy_use_bias_correction,
+            safeguard_warmup=cfg.prodigy_safeguard_warmup,
         )
     return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
 
@@ -103,9 +115,11 @@ def init_train_state(pipe: EdgeStylePipeline, params: Dict, cfg: TrainConfig):
     }
 
 
-def init_trainable(pipe: EdgeStylePipeline, rng, unet_params, lora_rank: int = 32):
+def init_trainable(pipe: EdgeStylePipeline, rng, unet_params, lora_rank: int = 32,
+                   lora_conv_rank: int = 0):
     """Fresh trainable set: two LoRA adapters + their zero-conv heads +
-    fusion blocks."""
+    fusion blocks. ``lora_conv_rank`` > 0 additionally adapts every trunk
+    conv (reference --controllora_conv2d_rank; its recipe keeps it 0)."""
     from edgestyle_tpu.models.unet import init_lora_params, split_trunk_params
 
     cfg = pipe.cfg
@@ -121,8 +135,8 @@ def init_trainable(pipe: EdgeStylePipeline, rng, unet_params, lora_rank: int = 3
     )["params"]
     heads = {kk: v for kk, v in cn_params.items() if kk.startswith("controlnet_")}
     return {
-        "lora_0": init_lora_params(k[0], trunk, lora_rank),
-        "lora_1": init_lora_params(k[1], trunk, lora_rank),
+        "lora_0": init_lora_params(k[0], trunk, lora_rank, lora_conv_rank),
+        "lora_1": init_lora_params(k[1], trunk, lora_rank, lora_conv_rank),
         "heads_0": heads,
         "heads_1": jax.tree.map(jnp.copy, heads),
         "fusion": pipe.mcn.init_fusion(k[3], sample_hw=(lat_hw, lat_hw)),

@@ -169,7 +169,7 @@ def test_generate_dp_matches_single_device(pipe_and_params, rng):
         np.asarray(dp), np.asarray(single), rtol=1e-5, atol=1e-5
     )
 
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         i3, n3, im3 = _inputs(rng, b=3)
         pipe.generate_dp(mesh, params, i3, n3, im3, num_inference_steps=1)
 

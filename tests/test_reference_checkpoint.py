@@ -159,10 +159,13 @@ def test_fusion_port_matches_existing_block_port(reference_dir):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_reference_layout_round_trip():
+@pytest.mark.parametrize("conv_rank", [0, 4])
+def test_reference_layout_round_trip(conv_rank):
     """export_reference_layout → load_edgestyle_pretrained_dir is the
     identity on the trainable set (bidirectional interop: training done
-    here is consumable by the reference stack and vice versa)."""
+    here is consumable by the reference stack and vice versa) — with and
+    without conv-LoRA adapters (--controllora_conv2d_rank>0 saves
+    LoRAConv2dLayer down/up conv weights, controllora.py:561-575)."""
     import tempfile
 
     from edgestyle_tpu.core.pretrained import export_reference_layout
@@ -186,8 +189,8 @@ def test_reference_layout_round_trip():
 
     mcn = EdgeStyleMultiControlNet(TINY, attn_impl="xla")
     trainable = {
-        "lora_0": init_lora_params(jax.random.key(3), trunk, 4),
-        "lora_1": init_lora_params(jax.random.key(4), trunk, 4),
+        "lora_0": init_lora_params(jax.random.key(3), trunk, 4, conv_rank),
+        "lora_1": init_lora_params(jax.random.key(4), trunk, 4, conv_rank),
         "heads_0": heads_like(),
         "heads_1": heads_like(),
         "fusion": mcn.init_fusion(jax.random.key(5), sample_hw=(16, 16)),
