@@ -22,10 +22,18 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="EdgeStyle-TPU try-on inference")
-    p.add_argument("--pretrained_model", type=str, default=None)
-    p.add_argument("--vae", type=str, default=None)
-    p.add_argument("--openpose_controlnet", type=str, default=None)
-    p.add_argument("--edgestyle_checkpoint", type=str, default=None)
+    # reference flag names (test_text2image_pretrained_openpose.py:…_name_or_path)
+    # are accepted as aliases of the short names
+    p.add_argument("--pretrained_model", "--pretrained_model_name_or_path",
+                   type=str, default=None, dest="pretrained_model")
+    p.add_argument("--vae", "--pretrained_vae_name_or_path", type=str,
+                   default=None, dest="vae")
+    p.add_argument("--openpose_controlnet", "--pretrained_openpose_name_or_path",
+                   type=str, default=None, dest="openpose_controlnet")
+    p.add_argument("--edgestyle_checkpoint", "--controlnet_model_name_or_path",
+                   type=str, default=None, dest="edgestyle_checkpoint",
+                   help="trained trainable set: safetensors file or "
+                        "reference-layout dir")
     p.add_argument("--tokenizer_dir", type=str, default=None,
                    help="dir with vocab.json + merges.txt")
     p.add_argument("--random_init", action="store_true")

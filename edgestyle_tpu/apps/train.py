@@ -37,8 +37,10 @@ def parse_args(argv=None):
                    type=str, default=None, dest="pretrained_model",
                    help="HF-layout dir with unet/ and text_encoder/ "
                         "(reference flag name accepted as alias)")
-    p.add_argument("--vae", type=str, default=None)
-    p.add_argument("--openpose_controlnet", type=str, default=None)
+    p.add_argument("--vae", "--pretrained_vae_name_or_path", type=str,
+                   default=None, dest="vae")
+    p.add_argument("--openpose_controlnet", "--pretrained_openpose_name_or_path",
+                   type=str, default=None, dest="openpose_controlnet")
     p.add_argument("--random_init", action="store_true",
                    help="random-init all weights (smoke tests / benchmarks)")
     # data

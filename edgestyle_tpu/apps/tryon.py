@@ -24,11 +24,15 @@ def add_model_source_args(p):
     """Checkpoint-source flags shared by tryon/serve/extract_dataset
     (the reference's model load surface, extract_dataset.py:44-58 +
     app.py model dirs)."""
-    p.add_argument("--pretrained_model", type=str, default=None,
+    p.add_argument("--pretrained_model", "--pretrained_model_name_or_path",
+                   type=str, default=None, dest="pretrained_model",
                    help="HF-layout dir with unet/ and text_encoder/")
-    p.add_argument("--vae", type=str, default=None)
-    p.add_argument("--openpose_controlnet", type=str, default=None)
-    p.add_argument("--edgestyle_checkpoint", type=str, default=None)
+    p.add_argument("--vae", "--pretrained_vae_name_or_path", type=str,
+                   default=None, dest="vae")
+    p.add_argument("--openpose_controlnet", "--pretrained_openpose_name_or_path",
+                   type=str, default=None, dest="openpose_controlnet")
+    p.add_argument("--edgestyle_checkpoint", "--controlnet_model_name_or_path",
+                   type=str, default=None, dest="edgestyle_checkpoint")
     p.add_argument("--sam_checkpoint", type=str, default=None,
                    help="base EfficientViT-SAM l2 weights (.pt or .safetensors)")
     p.add_argument("--sam_subject", type=str, default=None,
@@ -59,6 +63,10 @@ def parse_args(argv=None):
                    help="default: mined from the clothes1 image when BOTH "
                         "--tokenizer_dir and --clip_model are given "
                         "(reference app.py:163); otherwise the empty prompt")
+    p.add_argument("--prompt_text_to_add", type=str, default="",
+                   help="suffix appended to the (mined or given) prompt — the "
+                        "reference test script's flag "
+                        "(test_text2image_pretrained_openpose.py:316)")
     p.add_argument("--negative_prompt", type=str,
                    default="monochrome, lowres, bad anatomy, worst quality, low quality")
     p.add_argument("--fused", action="store_true",
@@ -357,7 +365,7 @@ def main(argv=None):
             miner = build_prompt_miner(args.tokenizer_dir, args.clip_model)
             prompt = miner(c1[None])[0]
             print(f"mined prompt: {prompt}")
-        ids = jnp.asarray(tok([prompt or ""]))
+        ids = jnp.asarray(tok([(prompt or "") + args.prompt_text_to_add]))
         neg = jnp.asarray(tok([args.negative_prompt]))
     else:
         from edgestyle_tpu.data.tokenizer import empty_prompt_ids

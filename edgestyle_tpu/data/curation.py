@@ -193,3 +193,180 @@ def inspect_dataset_grid(examples, collate_fn, rng, out_path: str):
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     Image.fromarray(grid).save(out_path)
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# CLI — one entry point covering the reference's standalone curation scripts
+# (find_bad_examples.py / find_similar_subjects.py /
+#  find_and_remove_missing_images.py / find_empty_dirs.sh /
+#  merge_two_subjects.py / compare_safetensors.py / inspect_dataset.py)
+
+
+def _load01(path: str, size: int) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((size, size), Image.BILINEAR)
+        return np.asarray(im, np.float32) / 255.0
+
+
+def _clip_encoders(tokenizer_dir: str, clip_model: str):
+    """(tokenizer, encode_images01→emb, encode_ids→emb) from an
+    openai/clip-vit-large-patch14-layout dir."""
+    from edgestyle_tpu.core.pretrained import load_clip_model_params
+    from edgestyle_tpu.data.tokenizer import CLIPTokenizer
+    from edgestyle_tpu.models.clip_text import (
+        CLIPTextConfig,
+        CLIPTextModelWithProjection,
+    )
+    from edgestyle_tpu.models.clip_vision import (
+        CLIPVisionConfig,
+        CLIPVisionModelWithProjection,
+        clip_preprocess,
+    )
+
+    tok = CLIPTokenizer.from_pretrained_dir(tokenizer_dir)
+    params = load_clip_model_params(clip_model)
+    text_m = CLIPTextModelWithProjection(CLIPTextConfig())
+    vis_m = CLIPVisionModelWithProjection(CLIPVisionConfig())
+    encode_text = jax.jit(
+        lambda ids: text_m.apply({"params": params["text"]}, ids)["text_embeds"]
+    )
+    encode_image = jax.jit(
+        lambda im01: vis_m.apply(
+            {"params": params["vision"]}, clip_preprocess(im01)
+        )["image_embeds"]
+    )
+    return tok, encode_image, encode_text
+
+
+def _image_paths(root: str):
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if os.path.splitext(f)[1].lower() in (".jpg", ".jpeg", ".png"):
+                out.append(os.path.join(dirpath, f))
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m edgestyle_tpu.data.curation",
+        description="dataset curation tools (reference find_*/merge/"
+                    "inspect/compare scripts)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("missing", help="report frames missing artifacts")
+    sp.add_argument("root")
+
+    sp = sub.add_parser("clean", help="DELETE all artifacts of incomplete frames")
+    sp.add_argument("root")
+
+    sp = sub.add_parser("empty-dirs", help="list (optionally remove) empty dirs")
+    sp.add_argument("root")
+    sp.add_argument("--remove", action="store_true")
+
+    sp = sub.add_parser("merge", help="merge src subject into dst, mark src skipped")
+    sp.add_argument("root")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+
+    sp = sub.add_parser("compare", help="diff two safetensors checkpoints")
+    sp.add_argument("a")
+    sp.add_argument("b")
+    sp.add_argument("--rtol", type=float, default=0.0)
+    sp.add_argument("--atol", type=float, default=0.0)
+
+    sp = sub.add_parser("bad", help="CLIP-IQA worst-image triage")
+    sp.add_argument("root")
+    sp.add_argument("--tokenizer_dir", required=True)
+    sp.add_argument("--clip_model", required=True)
+    sp.add_argument("--worst_k", type=int, default=20)
+
+    sp = sub.add_parser("similar", help="suspiciously-similar subject pairs")
+    sp.add_argument("root")
+    sp.add_argument("--tokenizer_dir", required=True)
+    sp.add_argument("--clip_model", required=True)
+    sp.add_argument("--threshold", type=float, default=0.92)
+    sp.add_argument("--per_subject", type=int, default=8,
+                    help="frames averaged per subject embedding")
+
+    sp = sub.add_parser("inspect", help="render an augmented batch grid")
+    sp.add_argument("root")
+    sp.add_argument("--out", default="inspect_grid.jpg")
+    sp.add_argument("--n", type=int, default=4)
+    sp.add_argument("--seed", type=int, default=0)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "missing":
+        miss = find_missing_artifacts(args.root)
+        for (subject, frame), arts in sorted(miss.items()):
+            print(f"{subject}/{frame}: missing {', '.join(arts)}")
+        print(f"{len(miss)} incomplete frames")
+    elif args.cmd == "clean":
+        print(f"removed {remove_incomplete_frames(args.root)} files")
+    elif args.cmd == "empty-dirs":
+        for rel in find_empty_dirs(args.root):
+            print(rel)
+            if args.remove:
+                os.rmdir(os.path.join(args.root, rel))
+    elif args.cmd == "merge":
+        merge_subjects(args.root, args.src, args.dst)
+        print(f"merged {args.src} -> {args.dst}")
+    elif args.cmd == "compare":
+        from edgestyle_tpu.core.porting import load_safetensors
+
+        report = compare_param_trees(
+            load_safetensors(args.a), load_safetensors(args.b),
+            rtol=args.rtol, atol=args.atol,
+        )
+        for key, diff in report:
+            print(f"{key}: max_abs_diff={diff:.3e}")
+        print(f"{len(report)} differing tensors")
+    elif args.cmd == "bad":
+        tok, enc_img, enc_txt = _clip_encoders(args.tokenizer_dir, args.clip_model)
+        iqa = ClipIQA(tok, enc_img, enc_txt)
+        worst = find_bad_examples(
+            _image_paths(args.root), iqa, lambda pth: _load01(pth, 224),
+            worst_k=args.worst_k,
+        )
+        for pth, score in worst:
+            print(f"{score:.4f}  {pth}")
+    elif args.cmd == "similar":
+        _, enc_img, _ = _clip_encoders(args.tokenizer_dir, args.clip_model)
+        embs: Dict[str, np.ndarray] = {}
+        for subject in sorted(os.listdir(args.root)):
+            sdir = os.path.join(args.root, subject, "subject")
+            if not os.path.isdir(sdir):
+                continue
+            paths = _image_paths(sdir)[: args.per_subject]
+            if not paths:
+                continue
+            imgs = jnp.stack([jnp.asarray(_load01(pth, 224)) for pth in paths])
+            embs[subject] = np.asarray(enc_img(imgs)).mean(axis=0)
+        for a, b, sim in find_similar_subjects(embs, args.threshold):
+            print(f"{sim:.4f}  {a}  {b}")
+    elif args.cmd == "inspect":
+        from edgestyle_tpu.data.collate import CollateFn
+        from edgestyle_tpu.data.dataset import EdgeStyleLocalDataset
+        from edgestyle_tpu.data.tokenizer import empty_prompt_ids
+
+        ds = EdgeStyleLocalDataset(args.root)
+        rng = np.random.default_rng(args.seed)
+        idx = rng.choice(len(ds), size=min(args.n, len(ds)), replace=False)
+        collate = CollateFn(
+            empty_prompt_ids()[0], proportion_patchworked_images=0.5,
+            proportion_cutout_images=0.5, proportion_patchworks=0.5,
+        )
+        out = inspect_dataset_grid(
+            [ds.example(int(i)) for i in idx], collate, rng, args.out
+        )
+        print(f"wrote {out}")
+
+
+if __name__ == "__main__":  # pragma: no cover — thin dispatch over tested fns
+    main()

@@ -115,3 +115,52 @@ def test_find_empty_dirs(tmp_path):
     # deepest-first ordering lets callers rmdir in sequence
     for rel in empty:
         os.rmdir(tmp_path / rel)
+
+
+def test_cli_dispatch(tmp_path, capsys):
+    """The `python -m edgestyle_tpu.data.curation` subcommands (reference's
+    standalone curation scripts) dispatch over the tested library fns."""
+    from edgestyle_tpu.data.curation import main
+
+    root = tmp_path / "data"
+    arts = ("processed", "openpose", "subject", "agnostic", "head", "clothes")
+    g = np.random.default_rng(0)
+    for s in ("s1", "s2"):
+        for a in arts:
+            d = root / s / a
+            os.makedirs(d)
+            for f in ("f0", "f1", "f2"):
+                Image.fromarray(
+                    g.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+                ).save(d / (f + ".jpg"))
+    os.remove(root / "s2" / "head" / "f1.jpg")  # make one frame incomplete
+
+    main(["missing", str(root)])
+    out = capsys.readouterr().out
+    assert "s2/f1: missing head" in out and "1 incomplete frames" in out
+
+    main(["clean", str(root)])
+    assert "removed 5 files" in capsys.readouterr().out
+    assert not (root / "s2" / "subject" / "f1.jpg").exists()
+
+    main(["merge", str(root), "s1", "s2"])
+    assert (root / "s2" / "subject" / "s1_f0.jpg").exists()
+    assert (root / "s1" / "_skip_").exists()
+
+    os.makedirs(root / "s1" / "empty_sub")
+    main(["empty-dirs", str(root), "--remove"])
+    assert "empty_sub" in capsys.readouterr().out
+    assert not (root / "s1" / "empty_sub").exists()
+
+    from safetensors.numpy import save_file
+
+    save_file({"w": np.zeros(3, np.float32)}, str(tmp_path / "a.safetensors"))
+    save_file({"w": np.ones(3, np.float32)}, str(tmp_path / "b.safetensors"))
+    main(["compare", str(tmp_path / "a.safetensors"), str(tmp_path / "b.safetensors")])
+    out = capsys.readouterr().out
+    assert "w: max_abs_diff=1.000e+00" in out and "1 differing tensors" in out
+
+    main(["inspect", str(root), "--out", str(tmp_path / "grid.jpg"), "--n", "2"])
+    assert "wrote" in capsys.readouterr().out
+    with Image.open(tmp_path / "grid.jpg") as im:
+        assert im.size[1] == 6 * 512
