@@ -41,6 +41,12 @@ def parse_args(argv=None):
                         "mined (with --clip_model) or empty prompt")
     p.add_argument("--negative_prompt", type=str,
                    default="monochrome, lowres, bad anatomy, worst quality, low quality")
+    p.add_argument("--use_agnostic_images", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="feed the agnostic crop to branch 0 instead of the "
+                        "head crop (reference app.py preprocess returns the "
+                        "head image; --use_agnostic_images is never set in "
+                        "the published recipes)")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--guidance", type=float, default=3.5)
     p.add_argument("--max_batch", type=int, default=1,
@@ -370,7 +376,11 @@ class GradioCallbacks:
 
     def preprocess(self, subject, cloth1, cloth2):
         outs = []
-        for img, key in ((subject, "agnostic"), (cloth1, "clothes"),
+        # subject slot: head crop unless --use_agnostic_images (the
+        # reference app.py preprocess returns head_image into the
+        # "agnostic" Gradio slot, app.py:133,217)
+        subj_key = "agnostic" if self.system.use_agnostic else "head"
+        for img, key in ((subject, subj_key), (cloth1, "clothes"),
                          (cloth2, "clothes")):
             img01 = self._to01(img)
             kp, skel = self.system.detect_pose(img01)

@@ -53,11 +53,12 @@ def parse_args(argv=None):
     p.add_argument("--proportion_patchworked_images", type=float, default=0.0)
     p.add_argument("--proportion_cutout_images", type=float, default=0.0)
     p.add_argument("--proportion_patchworks", type=float, default=0.0)
-    # BooleanOptionalAction so --no-use_agnostic_images can reach the
-    # implemented head-branch path (ADVICE r1: store_true+default=True was
-    # un-disablable).
+    # BooleanOptionalAction keeps both directions reachable (ADVICE r1);
+    # default False = head crops, the reference default — its flag is
+    # store_true (train...py:559) and the README recipe never sets it, so
+    # the published checkpoints were trained on head images.
     p.add_argument("--use_agnostic_images", action=argparse.BooleanOptionalAction,
-                   default=True)
+                   default=False)
     # optimization (reference recipe: prodigy lr 1.0, snr_gamma 5)
     p.add_argument("--optimizer", type=str, default="prodigy", choices=["prodigy", "adamw"])
     p.add_argument("--learning_rate", type=float, default=1.0)
@@ -325,6 +326,7 @@ def main(argv=None):
             log_validation(
                 pipe, frozen, host_trainable, val_batch, gstep, writer,
                 num_inference_steps=8,
+                use_agnostic=args.use_agnostic_images,
             )
 
     save_checkpoint(args.output_dir, state, args.checkpoints_total_limit)

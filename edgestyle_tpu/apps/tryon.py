@@ -69,6 +69,11 @@ def parse_args(argv=None):
                         "(test_text2image_pretrained_openpose.py:316)")
     p.add_argument("--negative_prompt", type=str,
                    default="monochrome, lowres, bad anatomy, worst quality, low quality")
+    p.add_argument("--use_agnostic_images", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="feed the agnostic crop to branch 0 instead of the "
+                        "head crop (reference default is head: "
+                        "inference.py:294, app.py feeds head_image)")
     p.add_argument("--fused", action="store_true",
                    help="run masks+pose-render+generation as ONE XLA program "
                         "(pose keypoints still detected by the pose program)")
@@ -111,6 +116,11 @@ class TryOnSystem:
         self.jax, self.jnp = jax, jnp
         rng = rng if rng is not None else jax.random.key(0)
         k = jax.random.split(rng, 3)
+        # branch-0 cond source: the reference DEFAULT is the head image —
+        # --use_agnostic_images is store_true in every reference script
+        # (train...py:559, inference.py:294) and the README recipe never
+        # passes it, so the published checkpoints expect head crops
+        self.use_agnostic = bool(getattr(args, "use_agnostic_images", False))
 
         self.pose_net = BodyPoseNet()
         self.preproc = TryOnPreprocessor(dtype=jnp.bfloat16)
@@ -286,7 +296,8 @@ class TryOnSystem:
         ex_1 = self.extract(clothes1_01, kp_1)
         ex_2 = self.extract(clothes2_01, kp_2)
         return {
-            "agnostic": ex_s["agnostic"], "subject_pose": pose_s,
+            "agnostic": ex_s["agnostic" if self.use_agnostic else "head"],
+            "subject_pose": pose_s,
             "clothes1": ex_1["clothes"], "clothes1_pose": pose_1,
             "clothes2": ex_2["clothes"], "clothes2_pose": pose_2,
         }
@@ -365,7 +376,9 @@ def main(argv=None):
             miner = build_prompt_miner(args.tokenizer_dir, args.clip_model)
             prompt = miner(c1[None])[0]
             print(f"mined prompt: {prompt}")
-        ids = jnp.asarray(tok([(prompt or "") + args.prompt_text_to_add]))
+        # reference joins mined prompt and the suffix with a space (:328)
+        full = " ".join(filter(None, [prompt or "", args.prompt_text_to_add]))
+        ids = jnp.asarray(tok([full]))
         neg = jnp.asarray(tok([args.negative_prompt]))
     else:
         from edgestyle_tpu.data.tokenizer import empty_prompt_ids
@@ -380,7 +393,8 @@ def main(argv=None):
         for img in (subject, c1, c2):
             kp, _ = system.detect_pose(img)
             kps.append(kp if kp is not None else np.full((18, 2), np.nan, np.float32))
-        fused = FusedTryOn(system.preproc, system.pipe)
+        fused = FusedTryOn(system.preproc, system.pipe,
+                           use_agnostic=system.use_agnostic)
         params = {**system.sam_params, "gen": system.gen_params}
         out = np.asarray(fused(
             params, jnp.asarray(subject), jnp.asarray(c1), jnp.asarray(c2),

@@ -219,6 +219,7 @@ class EdgeStyleMultiControlNet:
         encoder_hidden_states: jax.Array,
         cond_embeddings: Sequence[jax.Array],  # 6 × (B,64,64,320)
         conditioning_scale: Sequence[float] | jax.Array = None,
+        guess_mode: bool = False,
     ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
         n = len(self.pattern)
         if conditioning_scale is None:
@@ -241,12 +242,21 @@ class EdgeStyleMultiControlNet:
                 {"params": params[grp.params_key]},
                 smp, ts, ctx, emb, method="controlnet_forward",
             )
+            # guess-mode logspace ramp 0.1→1.0 over the residual depth,
+            # applied inside each branch before interleave+fusion exactly
+            # where the reference does (controllora.py:256-266:
+            # torch.logspace(-1, 0, len(down)+1) · conditioning_scale)
+            gs = (
+                jnp.logspace(-1.0, 0.0, len(down) + 1)
+                if guess_mode else jnp.ones(len(down) + 1)
+            )
             for j, p in enumerate(grp.positions):
                 sl = slice(j * b, (j + 1) * b)
                 down_per_branch[p] = [
-                    d[sl] * conditioning_scale[p] for d in down
+                    d[sl] * (conditioning_scale[p] * gs[i])
+                    for i, d in enumerate(down)
                 ]
-                mid_per_branch[p] = mid[sl] * conditioning_scale[p]
+                mid_per_branch[p] = mid[sl] * (conditioning_scale[p] * gs[-1])
 
         return self.fusion.apply(
             {"params": params["fusion"]}, down_per_branch, mid_per_branch

@@ -38,9 +38,14 @@ class FusedTryOn:
     params: {'sam': ..., 'decoders': ..., 'gen': <EdgeStylePipeline params>}
     """
 
-    def __init__(self, preproc: TryOnPreprocessor, pipe: EdgeStylePipeline):
+    def __init__(self, preproc: TryOnPreprocessor, pipe: EdgeStylePipeline,
+                 use_agnostic: bool = False):
         self.preproc = preproc
         self.pipe = pipe
+        # branch-0 cond: head crop by default — the reference's
+        # --use_agnostic_images is store_true and its README recipe never
+        # sets it (train...py:559, inference.py:294)
+        self.use_agnostic = use_agnostic
 
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("num_inference_steps",))
     def __call__(
@@ -72,7 +77,8 @@ class FusedTryOn:
         to_norm = lambda a: (a * 2.0 - 1.0)[None]
         to01 = lambda a: a[None]
         cond = [
-            to_norm(ex_s.agnostic), to01(pose_s),
+            to_norm(ex_s.agnostic if self.use_agnostic else ex_s.head),
+            to01(pose_s),
             to_norm(ex_1.clothes), to01(pose_1),
             to_norm(ex_2.clothes), to01(pose_2),
         ]

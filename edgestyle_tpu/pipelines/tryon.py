@@ -190,6 +190,7 @@ class EdgeStylePipeline:
         conditioning_scale,
         latents,
         return_latents: bool,
+        guess_mode: bool = False,
     ):
         cfg = self.cfg
         b = prompt_ids.shape[0]
@@ -207,7 +208,10 @@ class EdgeStylePipeline:
 
         scales = conditioning_scale
         if scales is None:
-            scales = [1.0] * cfg.num_branches
+            scales = jnp.ones((cfg.num_branches,), jnp.float32)
+        scales = jnp.asarray(scales, jnp.float32)
+        if scales.ndim == 1:  # static per-branch → same every step
+            scales = jnp.broadcast_to(scales, (num_inference_steps, cfg.num_branches))
 
         # scalar guidance broadcasts; a (B,) vector applies per sample so
         # requests with different guidance batch into ONE generation (the
@@ -217,12 +221,26 @@ class EdgeStylePipeline:
         if g.ndim:
             g = g.reshape((b,) + (1,) * 3)
 
-        def model_fn(sample, t):
+        def model_fn(sample, t, i):
+            if guess_mode:
+                # controlnet sees only the conditional half; the uncond
+                # half gets zero residuals (reference
+                # edgestyle_pipeline.py:453-497)
+                tb = jnp.broadcast_to(t, (b,))
+                down, mid = self.mcn(
+                    params["controlnet"], sample, tb, context[b:], embs,
+                    scales[i], guess_mode=True,
+                )
+                down = tuple(
+                    jnp.concatenate([jnp.zeros_like(d), d], axis=0) for d in down
+                )
+                mid = jnp.concatenate([jnp.zeros_like(mid), mid], axis=0)
             x2 = jnp.concatenate([sample, sample], axis=0)
             t2 = jnp.broadcast_to(t, (2 * b,))
-            down, mid = self.mcn(
-                params["controlnet"], x2, t2, context, embs2, scales
-            )
+            if not guess_mode:
+                down, mid = self.mcn(
+                    params["controlnet"], x2, t2, context, embs2, scales[i]
+                )
             noise = self.unet.apply(
                 {"params": params["unet"]},
                 x2, t2, context,
@@ -232,7 +250,7 @@ class EdgeStylePipeline:
             uncond, cond = jnp.split(noise, 2, axis=0)
             return uncond + g * (cond - uncond)
 
-        final = self.scheduler.sample_loop(plan, model_fn, latents)
+        final = self.scheduler.sample_loop(plan, model_fn, latents, pass_step=True)
         if return_latents:
             return final
         img = self.vae.apply(
@@ -240,16 +258,19 @@ class EdgeStylePipeline:
         )
         return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
-    @functools.partial(jax.jit, static_argnums=(0, 6), static_argnames=("return_latents",))
+    @functools.partial(
+        jax.jit, static_argnums=(0, 6),
+        static_argnames=("return_latents", "guess_mode"),
+    )
     def _generate_jit(
         self, params, prompt_ids, negative_prompt_ids, cond_images, rng,
         num_inference_steps, guidance_scale, conditioning_scale, latents,
-        return_latents=False,
+        return_latents=False, guess_mode=False,
     ):
         return self._generate(
             params, prompt_ids, negative_prompt_ids, cond_images, rng,
             num_inference_steps, guidance_scale, conditioning_scale, latents,
-            return_latents,
+            return_latents, guess_mode,
         )
 
     def __call__(
@@ -264,17 +285,27 @@ class EdgeStylePipeline:
         conditioning_scale: Optional[Sequence[float]] = None,
         latents: Optional[jax.Array] = None,
         return_latents: bool = False,
+        guess_mode: bool = False,
+        control_guidance_start=0.0,
+        control_guidance_end=1.0,
     ):
         """Generate try-on images.
 
         Defaults mirror the reference app (20 steps, guidance 3.5,
-        /root/reference/app.py:228-237)."""
+        /root/reference/app.py:228-237). ``guess_mode`` and the
+        ``control_guidance_start``/``end`` windows (scalar or per-branch)
+        complete the reference pipeline's knob set
+        (edgestyle_pipeline.py:113,407-427,453-497): windows become a
+        per-step keep mask folded into conditioning_scale host-side, so
+        changing them never recompiles."""
         self._check_inputs(prompt_ids, negative_prompt_ids, cond_images,
                            num_inference_steps, latents)
         if rng is None:
             rng = jax.random.key(0)
-        if conditioning_scale is not None:
-            conditioning_scale = jnp.asarray(conditioning_scale, jnp.float32)
+        conditioning_scale = self._step_scales(
+            num_inference_steps, conditioning_scale,
+            control_guidance_start, control_guidance_end,
+        )
         guidance_scale = jnp.asarray(guidance_scale, jnp.float32)
         if guidance_scale.ndim not in (0, 1) or (
             guidance_scale.ndim == 1
@@ -287,8 +318,29 @@ class EdgeStylePipeline:
         return self._generate_jit(
             params, prompt_ids, negative_prompt_ids, tuple(cond_images), rng,
             num_inference_steps, guidance_scale, conditioning_scale,
-            latents, return_latents=return_latents,
+            latents, return_latents=return_latents, guess_mode=guess_mode,
         )
+
+    def _step_scales(self, num_steps, conditioning_scale, start, end):
+        """(num_steps, num_branches) per-step conditioning scales: the
+        reference's controlnet_keep mask (edgestyle_pipeline.py:419-427:
+        keep=0 when i/N < start or (i+1)/N > end) times the per-branch
+        conditioning_scale."""
+        import numpy as np
+
+        n = self.cfg.num_branches
+        starts = np.broadcast_to(np.asarray(start, np.float32), (n,))
+        ends = np.broadcast_to(np.asarray(end, np.float32), (n,))
+        i = np.arange(num_steps, dtype=np.float32)[:, None]
+        keep = 1.0 - (
+            (i / num_steps < starts[None, :])
+            | ((i + 1) / num_steps > ends[None, :])
+        ).astype(np.float32)
+        scales = (
+            np.ones((n,), np.float32) if conditioning_scale is None
+            else np.asarray(conditioning_scale, np.float32)
+        )
+        return jnp.asarray(keep * scales[None, :])
 
 
     def generate_dp(

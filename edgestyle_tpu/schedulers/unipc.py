@@ -300,18 +300,23 @@ class UniPCScheduler:
         return next_sample.astype(sample.dtype), new_state
 
     # ---------------------------------------------------------- convenience
-    def sample_loop(self, plan: UniPCPlan, model_fn, init_noise, init_scale=True):
+    def sample_loop(self, plan: UniPCPlan, model_fn, init_noise, init_scale=True,
+                    pass_step=False):
         """Run the full denoise loop under lax.scan.
 
         model_fn(sample, t) → raw model output (ε or v). init_noise is a
         standard-normal latent; UniPC's init_noise_sigma is 1.0 so no
-        scaling is applied (matching diffusers).
+        scaling is applied (matching diffusers). With ``pass_step`` the
+        model_fn also receives the step index i (for per-step conditioning
+        such as the reference's controlnet_keep windows,
+        edgestyle_pipeline.py:407-427).
         """
         state = self.init_state(init_noise.shape, init_noise.dtype)
 
         def body(carry, i):
             sample, st = carry
-            out = model_fn(sample, plan.timesteps[i])
+            t = plan.timesteps[i]
+            out = model_fn(sample, t, i) if pass_step else model_fn(sample, t)
             nxt, st = self.step(plan, i, out, sample, st)
             return (nxt, st), None
 

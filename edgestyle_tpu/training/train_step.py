@@ -57,7 +57,7 @@ class TrainConfig:
     prodigy_safeguard_warmup: bool = True
     weight_decay: float = 1e-4
     swap_prob: float = 0.5
-    use_agnostic: bool = True
+    use_agnostic: bool = False  # reference default: head crops (train...py:559)
     grad_accum: int = 1
 
 

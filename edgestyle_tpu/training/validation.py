@@ -43,13 +43,19 @@ def log_validation(
     guidance_scales: Sequence[float] = VALIDATION_GUIDANCE_SCALES,
     num_inference_steps: int = 20,
     rng: Optional[jax.Array] = None,
+    use_agnostic: bool = False,
 ):
     """batch: one collated validation batch (micro-batch shapes, no accum
-    axis). Returns the grid (H, W_total, 3) float32 [0,1]."""
+    axis). Returns the grid (H, W_total, 3) float32 [0,1].
+
+    ``use_agnostic`` mirrors the trainer's --use_agnostic_images: branch 0
+    sees agnostic or head crops (reference train...py:109-112 picks the
+    same source for its validation grids)."""
     params = assemble_inference_params(frozen, trainable)
     rng = rng if rng is not None else jax.random.key(0)
+    first = batch["agnostic"] if use_agnostic else batch["head"]
     cond = [
-        jnp.asarray(batch["agnostic"]),
+        jnp.asarray(first),
         jnp.asarray(batch["original_openpose"]),
         jnp.asarray(batch["clothes"]),
         jnp.asarray(batch["clothes_openpose"]),
@@ -60,7 +66,7 @@ def log_validation(
     neg = jnp.zeros_like(ids)
 
     rows = [np.asarray(batch["original"] / 2 + 0.5).clip(0, 1)]
-    rows += [np.asarray(batch["agnostic"] / 2 + 0.5).clip(0, 1),
+    rows += [np.asarray(first / 2 + 0.5).clip(0, 1),
              np.asarray(batch["original_openpose"]).clip(0, 1)]
     for g in guidance_scales:
         out = pipe(

@@ -69,3 +69,102 @@ def test_parse_args_validates_resolution():
     assert args.train_batch_size == 2 and args.gradient_accumulation_steps == 32
     with pytest.raises(SystemExit):
         parse_args(["--resolution", "500"])
+
+
+def test_reference_flag_name_aliases():
+    """The reference's --*_name_or_path flag names (train/test/inference
+    scripts) are accepted as aliases across all entry points."""
+    from edgestyle_tpu.apps.infer import parse_args as infer_args
+    from edgestyle_tpu.apps.tryon import parse_args as tryon_args
+
+    a = parse_args([
+        "--random_init",
+        "--pretrained_model_name_or_path", "/m",
+        "--pretrained_vae_name_or_path", "/v",
+        "--pretrained_openpose_name_or_path", "/o",
+    ])
+    assert (a.pretrained_model, a.vae, a.openpose_controlnet) == ("/m", "/v", "/o")
+
+    a = infer_args([
+        "--random_init",
+        "--pretrained_model_name_or_path", "/m",
+        "--controlnet_model_name_or_path", "/c",
+    ])
+    assert (a.pretrained_model, a.edgestyle_checkpoint) == ("/m", "/c")
+
+    a = tryon_args([
+        "--subject", "s.jpg", "--clothes1", "c1.jpg", "--clothes2", "c2.jpg",
+        "--random_init", "--controlnet_model_name_or_path", "/c",
+        "--prompt_text_to_add", ", studio light",
+    ])
+    assert a.edgestyle_checkpoint == "/c"
+    assert a.prompt_text_to_add == ", studio light"
+
+
+def test_infer_artifact_dir_addressing():
+    """--source_path/--target_path dir addressing mirrors the reference
+    test script's layout (test_text2image...py:278-314): branch 0 reads
+    head/ by default, agnostic/ only under --use_agnostic_images."""
+    from edgestyle_tpu.apps.infer import parse_args as infer_args
+    from edgestyle_tpu.apps.infer import resolve_artifact_paths
+
+    base = [
+        "--random_init",
+        "--source_path", "/d/src", "--source_image_name", "a.jpg",
+        "--target_path", "/d/t1", "--target_image_name", "b.jpg",
+        "--target_path2", "/d/t2", "--target_image_name2", "c.jpg",
+    ]
+    slots, sources = resolve_artifact_paths(infer_args(base))
+    assert slots == [
+        "/d/src/head/a.jpg", "/d/src/openpose/a.jpg",
+        "/d/t1/clothes/b.jpg", "/d/t1/openpose/b.jpg",
+        "/d/t2/clothes/c.jpg", "/d/t2/openpose/c.jpg",
+    ]
+    assert sources == ["/d/src/subject/a.jpg", "/d/t1/subject/b.jpg",
+                       "/d/t2/subject/c.jpg"]
+    slots, _ = resolve_artifact_paths(infer_args(base + ["--use_agnostic_images"]))
+    assert slots[0] == "/d/src/agnostic/a.jpg"
+
+
+def test_reference_readme_recipe_parses():
+    """The exact flag set from the reference README training recipe
+    (README.md:66-96, minus the accelerate launcher) parses unchanged."""
+    a = parse_args([
+        "--pretrained_model_name_or_path=SG161222/Realistic_Vision_V5.1_noVAE",
+        "--pretrained_vae_name_or_path=stabilityai/sd-vae-ft-mse",
+        "--pretrained_openpose_name_or_path=lllyasviel/control_v11p_sd15_openpose",
+        "--output_dir=models/output_text2image_pretrained_openpose",
+        "--resolution=512",
+        "--train_batch_size=2",
+        "--gradient_accumulation_steps", "32",
+        "--mixed_precision", "fp16",
+        "--controllora_use_vae",
+        "--seed=42",
+        "--resume_from_checkpoint", "latest",
+        "--num_validation_images", "4",
+        "--checkpoints_total_limit", "3",
+        "--dataloader_num_workers", "2",
+        "--snr_gamma=5.0",
+        "--optimizer=prodigy",
+        "--learning_rate=1.0",
+        "--prodigy_safeguard_warmup=True",
+        "--prodigy_use_bias_correction=True",
+        "--adam_beta1=0.9",
+        "--adam_beta2=0.99",
+        "--adam_weight_decay=0.01",
+        "--proportion_empty_prompts=0.1",
+        "--proportion_empty_images=0.1",
+        "--proportion_cutout_images=0.1",
+        "--proportion_patchworked_images=0.1",
+        "--proportion_patchworks=0.1",
+        "--validation_steps", "100",
+        "--checkpointing_steps", "100",
+        "--max_train_steps=20000",
+    ])
+    assert a.pretrained_model == "SG161222/Realistic_Vision_V5.1_noVAE"
+    assert a.train_batch_size == 2 and a.gradient_accumulation_steps == 32
+    assert a.optimizer == "prodigy" and a.learning_rate == 1.0
+    assert a.snr_gamma == 5.0 and a.controllora_use_vae
+    assert a.prodigy_safeguard_warmup is True
+    assert a.mixed_precision == "fp16" and a.max_train_steps == 20000
+    assert a.use_agnostic_images is False  # recipe never sets it → head crops

@@ -86,10 +86,9 @@ def test_guidance_scale_has_effect(pipe_and_params, rng):
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
-def test_conditioning_scale_has_effect(pipe_and_params, rng):
-    pipe, params = pipe_and_params
-    # zero-init controlnet heads make residuals 0 regardless of scale; give
-    # them weight so scale is observable
+def _bump_heads(params):
+    """Zero-init controlnet heads make residuals 0 regardless of scale;
+    give them weight so conditioning is observable."""
     import jax as _jax
 
     def bump(tree):
@@ -104,6 +103,12 @@ def test_conditioning_scale_has_effect(pipe_and_params, rng):
         )
         for k, v in params["controlnet"].items()
     }
+    return params
+
+
+def test_conditioning_scale_has_effect(pipe_and_params, rng):
+    pipe, params = pipe_and_params
+    params = _bump_heads(params)
     ids, neg, imgs = _inputs(rng)
     lat = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
     a = pipe(params, ids, neg, imgs, latents=lat, num_inference_steps=2,
@@ -201,3 +206,93 @@ def test_batched_requests_match_sequential(pipe_and_params, rng):
     with pytest.raises(ValueError, match="guidance_scale"):
         pipe(params, ids, neg, imgs, guidance_scale=jnp.ones((2,)),
              num_inference_steps=1)
+
+
+def test_control_guidance_windows(pipe_and_params, rng):
+    """control_guidance_start/end become the reference's controlnet_keep
+    mask (edgestyle_pipeline.py:419-427)."""
+    pipe, params = pipe_and_params
+    params = _bump_heads(params)
+    ids, neg, imgs = _inputs(rng)
+    key = jax.random.key(3)
+
+    # keep formula matches the reference exactly
+    sc = np.asarray(pipe._step_scales(4, [2.0] * 6, 0.3, 0.8))
+    n = 4
+    for i in range(n):
+        keep = 1.0 - float(i / n < 0.3 or (i + 1) / n > 0.8)
+        np.testing.assert_allclose(sc[i], 2.0 * keep)
+    # per-branch windows broadcast
+    sc = np.asarray(pipe._step_scales(2, None, [0.0] * 6, [1.0] * 5 + [0.0]))
+    assert sc[:, :5].min() == 1.0 and (sc[:, 5] == 0.0).all()
+
+    # start=1.0 masks every step == conditioning_scale 0 everywhere
+    a = pipe(params, ids, neg, imgs, rng=key, num_inference_steps=2,
+             control_guidance_start=1.0)
+    b = pipe(params, ids, neg, imgs, rng=key, num_inference_steps=2,
+             conditioning_scale=[0.0] * 6)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # default windows reproduce the plain path bit-exactly
+    c = pipe(params, ids, neg, imgs, rng=key, num_inference_steps=2)
+    d = pipe(params, ids, neg, imgs, rng=key, num_inference_steps=2,
+             control_guidance_start=0.0, control_guidance_end=1.0)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+    # a real window changes the result
+    e = pipe(params, ids, neg, imgs, rng=key, num_inference_steps=2,
+             control_guidance_end=0.5)
+    assert not np.array_equal(np.asarray(c), np.asarray(e))
+
+
+def test_guess_mode(pipe_and_params, rng):
+    """guess_mode: logspace residual ramp + cond-half-only controlnet with
+    zero residuals for the uncond half (reference controllora.py:256-266,
+    edgestyle_pipeline.py:453-497)."""
+    pipe, params = pipe_and_params
+    params = _bump_heads(params)
+    ids, neg, imgs = _inputs(rng)
+    key = jax.random.key(5)
+
+    out = pipe(params, ids, neg, imgs, rng=key, num_inference_steps=2,
+               guess_mode=True)
+    o = np.asarray(out)
+    assert o.shape == (1, 32, 32, 3) and np.isfinite(o).all()
+    base = pipe(params, ids, neg, imgs, rng=key, num_inference_steps=2)
+    assert not np.array_equal(o, np.asarray(base))
+
+    # MCN-level: guess residuals == manual logspace scaling of plain ones
+    b = 1
+    lat_hw = TINY_PIPE.vae.sample_size // pipe.vae_downscale
+    x = jnp.asarray(rng.standard_normal((b, lat_hw, lat_hw, 4)), jnp.float32)
+    t = jnp.zeros((b,), jnp.int32)
+    ctx = jnp.asarray(
+        rng.standard_normal((b, 7, TINY_PIPE.unet.cross_attention_dim)), jnp.float32
+    )
+    embs = pipe.embed_cond_images(params, imgs)
+
+    # capture the PRE-fusion residuals to verify the exact logspace ramp
+    # (fusion is nonlinear, so post-fusion outputs can't show it)
+    class _CaptureFusion:
+        def apply(self, variables, down_lists, mid_list):
+            return down_lists, mid_list
+
+    mcn, real_fusion = pipe.mcn, pipe.mcn.fusion
+    mcn.fusion = _CaptureFusion()
+    try:
+        d_g, m_g = mcn(params["controlnet"], x, t, ctx, embs, None,
+                       guess_mode=True)
+        d_p, m_p = mcn(params["controlnet"], x, t, ctx, embs, None,
+                       guess_mode=False)
+    finally:
+        mcn.fusion = real_fusion
+    n_resid = len(d_p[0])
+    ramp = np.logspace(-1.0, 0.0, n_resid + 1)
+    for p in range(len(d_p)):
+        for j in range(n_resid):
+            np.testing.assert_allclose(
+                np.asarray(d_g[p][j]), np.asarray(d_p[p][j]) * ramp[j],
+                rtol=2e-5, atol=1e-6,
+            )
+        np.testing.assert_allclose(
+            np.asarray(m_g[p]), np.asarray(m_p[p]) * ramp[-1],
+            rtol=2e-5, atol=1e-6,
+        )

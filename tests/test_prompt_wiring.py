@@ -84,9 +84,11 @@ def test_tryon_args_have_clip_model():
     assert a.prompt is None
 
 
-def test_use_agnostic_images_is_disableable():
+def test_use_agnostic_images_default_and_toggle():
+    """Default False = head crops, matching the reference (its flag is
+    store_true at train...py:559 and the README recipe never sets it)."""
     base = ["--random_init"]
-    assert train_args(base).use_agnostic_images is True
+    assert train_args(base).use_agnostic_images is False
     assert train_args(base + ["--no-use_agnostic_images"]).use_agnostic_images is False
     assert train_args(base + ["--use_agnostic_images"]).use_agnostic_images is True
 

@@ -199,6 +199,8 @@ def test_person_box_from_auto_masks_tiny(rng):
 class StubGenSystem:
     """detect_pose/extract/generate stub for the gradio callback wiring."""
 
+    use_agnostic = False  # reference default: head crops
+
     def detect_pose(self, img01):
         kp = np.full((18, 2), np.nan, np.float32)
         kp[[0, 8]] = [[256, 100], [256, 350]]

@@ -22,7 +22,8 @@ def test_log_validation_grid(rng):
     b, hw = 2, 32
     img = lambda: rng.standard_normal((b, hw, hw, 3)).astype(np.float32) * 0.2
     batch = {
-        "original": img(), "agnostic": img(), "clothes": img(), "clothes2": img(),
+        "original": img(), "agnostic": img(), "head": img(), "clothes": img(),
+        "clothes2": img(),
         "original_openpose": np.abs(img()), "clothes_openpose": np.abs(img()),
         "clothes_openpose2": np.abs(img()),
         "input_ids": rng.integers(1, 99, (b, 7)).astype(np.int32),
