@@ -133,10 +133,20 @@ def extract_subject(
     out_dir: str,
     top_k: Optional[int] = None,
     iqa=None,
+    score_threshold: float = 0.5,
     skip_marker: str = "_skip_",
     stats: Optional[dict] = None,
 ) -> int:
     """Process frames into the artifact layout. Returns #frames written.
+
+    Frames whose subject-head SAM score falls below ``score_threshold``
+    are dropped (reference SUBJECT_SCORE_THRESHOLD=0.5,
+    extract_dataset.py:34,391). ``top_k`` ranking uses
+    mean(subject_score, CLIP-IQA of the subject composite) — the
+    reference's score = mean(sam_scores, mean_score) (:699-714); without
+    an ``iqa`` fn the SAM score alone ranks (the reference has no
+    IQA-less mode). The reference's extra top-half random subsample for
+    very long videos (:707-711) is replaced by a deterministic top-k.
 
     When ``stats`` is a dict it is filled with per-frame accounting,
     including how many pose-less frames the SAM auto-mask fallback
@@ -145,7 +155,7 @@ def extract_subject(
     if stats is None:
         stats = {}
     stats.update(box_from_pose=0, box_fallback=0, dropped_no_box=0,
-                 dropped_no_pose_on_crop=0)
+                 dropped_no_pose_on_crop=0, dropped_low_score=0)
     if os.path.exists(os.path.join(out_dir, skip_marker)):
         return 0
     arts = ("processed", "openpose", "openpose_json", "subject", "mask",
@@ -191,11 +201,24 @@ def extract_subject(
             stats["dropped_no_pose_on_crop"] += 1
             continue
         ex = system.extract(processed.astype(np.float32) / 255.0, kp2)
+        if ex.get("subject_score", 1.0) < score_threshold:
+            stats["dropped_low_score"] += 1
+            continue
         results.append((idx, processed, skel2, kp2, ex))
 
-    if top_k is not None and iqa is not None and len(results) > top_k:
-        scores = [float(iqa(jnp.asarray(p[1], jnp.float32)[None] / 255.0)[0])
-                  for p in results]
+    if top_k is not None and len(results) > top_k:
+        scores = []
+        for p in results:
+            ex = p[4]
+            parts = []
+            if "subject_score" in ex:
+                parts.append(float(ex["subject_score"]))
+            if iqa is not None:
+                # reference scores the SUBJECT composite (:685-692)
+                parts.append(float(
+                    iqa(jnp.asarray(ex["subject"], jnp.float32)[None])[0]
+                ))
+            scores.append(float(np.mean(parts)) if parts else 0.0)
         order = np.argsort(scores)[::-1][:top_k]
         results = [results[i] for i in sorted(order)]
 
@@ -250,7 +273,17 @@ def main(argv=None):
     p.add_argument("--input", type=str, required=True, help="video file or image dir")
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--every_n", type=int, default=5)
-    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--top_k", type=int, default=None,
+                   help="keep the best frames by mean(SAM subject score, "
+                        "CLIP-IQA) — reference MAX_FRAMES selection "
+                        "(:699-714); IQA needs --tokenizer_dir+--clip_model")
+    p.add_argument("--score_threshold", type=float, default=0.5,
+                   help="drop frames whose subject-head SAM score is below "
+                        "this (reference SUBJECT_SCORE_THRESHOLD, :34)")
+    p.add_argument("--tokenizer_dir", type=str, default=None)
+    p.add_argument("--clip_model", type=str, default=None,
+                   help="full CLIPModel dir enabling the CLIP-IQA half of "
+                        "the frame ranking")
     p.add_argument("--random_init", action="store_true")
     from edgestyle_tpu.apps.tryon import add_model_source_args
 
@@ -262,10 +295,22 @@ def main(argv=None):
     enable_persistent_cache()
     from edgestyle_tpu.apps.tryon import TryOnSystem
 
+    iqa = None
+    if args.tokenizer_dir and args.clip_model:
+        from edgestyle_tpu.data.curation import (
+            ClipIQA,
+            EXTRACTION_PROMPT_PAIRS,
+            _clip_encoders,
+        )
+
+        tok, enc_img, enc_txt = _clip_encoders(args.tokenizer_dir, args.clip_model)
+        iqa = ClipIQA(tok, enc_img, enc_txt, EXTRACTION_PROMPT_PAIRS)
+
     system = TryOnSystem(random_init=args.random_init, args=args)
     frames = load_frames(args.input, args.every_n)
     stats: dict = {}
     n = extract_subject(system, frames, args.output_dir, top_k=args.top_k,
+                        iqa=iqa, score_threshold=args.score_threshold,
                         stats=stats)
     print(json.dumps({"frames_in": len(frames), "frames_written": n, **stats}))
 

@@ -327,6 +327,11 @@ def main(argv=None):
                 pipe, frozen, host_trainable, val_batch, gstep, writer,
                 num_inference_steps=8,
                 use_agnostic=args.use_agnostic_images,
+                # reference sweep: linspace(3.0, 7.5, num_validation_images)
+                # (train...py:146)
+                guidance_scales=tuple(
+                    np.linspace(3.0, 7.5, args.num_validation_images)
+                ),
             )
 
     save_checkpoint(args.output_dir, state, args.checkpoints_total_limit)

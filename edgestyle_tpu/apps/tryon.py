@@ -218,6 +218,7 @@ class TryOnSystem:
             "agnostic": np.asarray(out.agnostic, np.float32),
             "head": np.asarray(out.head, np.float32),
             "clothes": np.asarray(out.clothes, np.float32),
+            "subject_score": float(out.subject_score),
         }
 
     # ----------------------------------------------------------- generate

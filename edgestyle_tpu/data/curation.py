@@ -19,13 +19,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# prompt pairs as in CLIP-IQA / the reference's find_bad_examples usage
+# generic CLIP-IQA prompt pairs (torchmetrics CLIPIQA built-ins)
 IQA_PROMPT_PAIRS: Tuple[Tuple[str, str], ...] = (
     ("Good photo.", "Bad photo."),
     ("Sharp photo.", "Blurry photo."),
     ("Sharp edges.", "Blurry edges."),
     ("High resolution photo.", "Low resolution photo."),
     ("Noise-free photo.", "Photo with noise."),
+)
+
+# the reference's extraction ranking uses prompts=("quality","sharpness")
+# (extract_dataset.py:92), i.e. torchmetrics' first two built-in pairs
+EXTRACTION_PROMPT_PAIRS = IQA_PROMPT_PAIRS[:2]
+
+# the reference's committed find_bad_examples triage hunts MULTI-PERSON
+# frames, not blur (find_bad_examples.py:22-35: low P("one"/"single")
+# ranks worst)
+BAD_EXAMPLE_PROMPT_PAIRS: Tuple[Tuple[str, str], ...] = (
+    ("one", "two"),
+    ("single", "multiple"),
 )
 
 
@@ -280,11 +292,16 @@ def main(argv=None):
     sp.add_argument("--rtol", type=float, default=0.0)
     sp.add_argument("--atol", type=float, default=0.0)
 
-    sp = sub.add_parser("bad", help="CLIP-IQA worst-image triage")
+    sp = sub.add_parser("bad", help="CLIP prompt-pair worst-image triage")
     sp.add_argument("root")
     sp.add_argument("--tokenizer_dir", required=True)
     sp.add_argument("--clip_model", required=True)
     sp.add_argument("--worst_k", type=int, default=20)
+    sp.add_argument("--pairs", nargs="+", default=None, metavar="POS|NEG",
+                    help="prompt pairs 'positive|negative'; default is the "
+                         "reference's multi-person hunt (one|two, "
+                         "single|multiple); pass --pairs generic for the "
+                         "quality/sharpness set")
 
     sp = sub.add_parser("similar", help="suspiciously-similar subject pairs")
     sp.add_argument("root")
@@ -328,8 +345,14 @@ def main(argv=None):
             print(f"{key}: max_abs_diff={diff:.3e}")
         print(f"{len(report)} differing tensors")
     elif args.cmd == "bad":
+        if args.pairs is None:
+            pairs = BAD_EXAMPLE_PROMPT_PAIRS
+        elif args.pairs == ["generic"]:
+            pairs = IQA_PROMPT_PAIRS
+        else:
+            pairs = tuple(tuple(p.split("|", 1)) for p in args.pairs)
         tok, enc_img, enc_txt = _clip_encoders(args.tokenizer_dir, args.clip_model)
-        iqa = ClipIQA(tok, enc_img, enc_txt)
+        iqa = ClipIQA(tok, enc_img, enc_txt, pairs)
         worst = find_bad_examples(
             _image_paths(args.root), iqa, lambda pth: _load01(pth, 224),
             worst_k=args.worst_k,

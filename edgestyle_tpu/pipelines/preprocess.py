@@ -53,6 +53,10 @@ class PreprocessOutput(NamedTuple):
     clothes: jax.Array        # (H,W,3) clothes on gray
     agnostic_mask: jax.Array  # (H,W) bool
     person_mask: jax.Array    # (H,W) bool
+    subject_score: jax.Array  # () float — subject head's predicted IoU
+    # (the reference's sam_scores: extract_dataset.py:378-391 gates frames
+    # on it at SUBJECT_SCORE_THRESHOLD=0.5 and mixes it into frame
+    # ranking at :702)
 
 
 class TryOnPreprocessor:
@@ -100,18 +104,19 @@ class TryOnPreprocessor:
         blbl = jnp.array([[2, 3]])
 
         def head_mask(name: str, close_k: int):
-            m, _ = self._decode_with(
+            m, iou = self._decode_with(
                 params, params["decoders"][name], embedding, bpts, blbl, False
             )
             m = postprocess_masks(m.astype(jnp.float32), (h, w))[0, 0] > 0
-            return smooth_mask(closing(m, 3), 3, 3) if close_k == 3 else smooth_mask(
+            m = smooth_mask(closing(m, 3), 3, 3) if close_k == 3 else smooth_mask(
                 closing(m, 7), 3, 3
             )
+            return m, iou.reshape(-1)[0]
 
-        subject_m = head_mask("subject", 3)
-        agnostic_m = head_mask("agnostic", 3)
-        clothes_m = head_mask("clothes", 3)
-        head_m = head_mask("head", 7)
+        subject_m, subject_iou = head_mask("subject", 3)
+        agnostic_m, _ = head_mask("agnostic", 3)
+        clothes_m, _ = head_mask("clothes", 3)
+        head_m, _ = head_mask("head", 7)
 
         # 3. union → largest CC → smooth (person silhouette)
         all_m = subject_m | clothes_m | head_m
@@ -130,6 +135,7 @@ class TryOnPreprocessor:
             clothes=composite_gray(image01, clothes_f),
             agnostic_mask=agnostic_f,
             person_mask=all_m,
+            subject_score=subject_iou.astype(jnp.float32),
         )
 
     def init_params(self, rng) -> Dict:

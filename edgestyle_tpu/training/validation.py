@@ -12,7 +12,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-VALIDATION_GUIDANCE_SCALES = (1.0, 2.0, 3.0, 5.0)  # reference grid :195-215 sweeps 4
+# reference log_validation sweeps guidance = linspace(3.0, 7.5,
+# num_validation_images) (train...py:146,152); 4 images by default
+VALIDATION_GUIDANCE_SCALES = (3.0, 4.5, 6.0, 7.5)
 
 
 def assemble_inference_params(frozen: Dict, trainable: Dict) -> Dict:

@@ -359,3 +359,39 @@ def test_server_with_batching_roundtrip(rng):
         np.testing.assert_allclose(out[0, 0, 0] / 255.0, 0.5, atol=0.01)
     finally:
         srv.shutdown()
+
+
+def test_extract_subject_score_gate_and_ranking(tmp_path, rng):
+    """Reference SUBJECT_SCORE_THRESHOLD gating (extract_dataset.py:34,391)
+    and mean(sam_score, iqa) top-k ranking (:699-714)."""
+
+    class ScoredSystem(StubExtractSystem):
+        def __init__(self):
+            self.calls = 0
+
+        def extract(self, img01, kp):
+            g = super().extract(img01, kp)
+            # frame order: 0.2 (gated), then descending 0.9, 0.8, 0.7
+            g["subject_score"] = [0.2, 0.9, 0.8, 0.7][self.calls]
+            self.calls += 1
+            return g
+
+    frames = [rng.integers(0, 255, (600, 400, 3), dtype=np.uint8) for _ in range(4)]
+    stats = {}
+    n = extract_subject(ScoredSystem(), frames, str(tmp_path / "s"), top_k=2,
+                        stats=stats)
+    assert stats["dropped_low_score"] == 1
+    assert n == 2  # survivors ranked by subject score, top-2 kept
+    names = sorted(f.name for f in (tmp_path / "s" / "processed").iterdir())
+    assert names == ["000001.jpg", "000002.jpg"]  # frames with 0.9 and 0.8
+
+    # iqa half of the score can reorder: make frame 3 visually "best"
+    class Iqa:
+        def __call__(self, img):
+            # favours brighter subject composites
+            return np.asarray([float(np.asarray(img).mean())])
+
+    stats2 = {}
+    n2 = extract_subject(ScoredSystem(), frames, str(tmp_path / "s2"), top_k=2,
+                         iqa=Iqa(), stats=stats2)
+    assert n2 == 2 and stats2["dropped_low_score"] == 1
