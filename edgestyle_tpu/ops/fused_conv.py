@@ -242,6 +242,29 @@ def norm_act_conv3x3(
     """GroupNorm→SiLU→3×3 SAME conv: fused Pallas kernel on TPU/bf16,
     bit-compatible XLA composition otherwise (EDGESTYLE_FUSED_CONV=0 opts
     out, mirroring EDGESTYLE_FLASH)."""
+    from edgestyle_tpu.ops.quant import _is_prequant
+
+    if _is_prequant(kernel):
+        # W8A8 serving path (ops/quant.py): the kernel was pre-quantized
+        # by quantize_params outside the denoise scan; GN+SiLU runs in fp,
+        # the activation is dynamically quantized, the conv runs on the
+        # int8 MXU. (The Pallas fused path cannot consume int8 kernels —
+        # the pipeline rejects QUANT+FUSED_CONV up front.)
+        from edgestyle_tpu.ops.norms import group_norm
+        from edgestyle_tpu.ops.quant import quantize_activation
+
+        h = group_norm(x, gn_scale, gn_bias, num_groups, eps, act=jax.nn.silu)
+        qx, sx = quantize_activation(h)
+        out = jax.lax.conv_general_dilated(
+            qx,
+            kernel["q"],
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        out = out.astype(jnp.float32) * (sx * kernel["s"].reshape((1, 1, 1, -1)))
+        return (out + bias.astype(jnp.float32)).astype(dtype)
     if _eligible(x, kernel, num_groups):
         return _fused(x, gn_scale, gn_bias, kernel, bias, num_groups, eps, dtype)
     return _reference(x, gn_scale, gn_bias, kernel, bias, num_groups, eps, dtype)

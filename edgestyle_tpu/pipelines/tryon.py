@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -69,8 +70,26 @@ class EdgeStylePipeline:
       }
     """
 
-    def __init__(self, cfg: PipelineConfig = PipelineConfig(), attn_impl: str = "auto"):
+    def __init__(
+        self,
+        cfg: PipelineConfig = PipelineConfig(),
+        attn_impl: str = "auto",
+        quant: Optional[str] = None,
+    ):
         self.cfg = cfg
+        # opt-in W8A8 serving quantization of the denoise step (ops/quant.py;
+        # not a reference feature — TPU int8-MXU perf lever). Env default so
+        # bench/serve/apps pick it up without plumbing: EDGESTYLE_QUANT=int8.
+        self.quant = quant if quant is not None else os.environ.get(
+            "EDGESTYLE_QUANT", "none"
+        )
+        if self.quant not in ("none", "int8"):
+            raise ValueError(f"unknown quant mode {self.quant!r}")
+        if self.quant == "int8" and os.environ.get("EDGESTYLE_FUSED_CONV") == "1":
+            # the fused-conv ResnetBlock reads kernels directly (not via
+            # nn.Conv), so it cannot consume pre-quantized kernel leaves
+            raise ValueError("EDGESTYLE_QUANT=int8 is incompatible with "
+                             "EDGESTYLE_FUSED_CONV=1")
         dt = cfg.jnp_dtype
         self.vae = AutoencoderKL(cfg.vae, dtype=dt)
         self.clip = CLIPTextEncoder(cfg.clip, dtype=dt)
@@ -221,7 +240,50 @@ class EdgeStylePipeline:
         if g.ndim:
             g = g.reshape((b,) + (1,) * 3)
 
+        if self.quant == "int8":
+            # pre-quantize the denoise-step weight trees ONCE, outside the
+            # UniPC scan — XLA does not hoist per-call weight quantization
+            # out of the loop (393 ms/generation of convert_reduce fusions,
+            # BASELINE.md int8 trace), and int8 kernels also halve the
+            # per-step weight streaming. Must happen AFTER encode_prompt /
+            # embed_cond_images, which run un-intercepted on raw params.
+            from edgestyle_tpu.ops.quant import quantize_params
+
+            cn = {
+                k: quantize_params(v)
+                if k.startswith("lora_") or k == "static" else v
+                for k, v in params["controlnet"].items()
+            }
+            params = {
+                **params,
+                "unet": quantize_params(params["unet"]),
+                "controlnet": cn,
+            }
+
         def model_fn(sample, t, i):
+            return self._model_step(
+                params, context, embs, embs2, scales, g, b, guess_mode,
+                sample, t, i,
+            )
+
+        final = self.scheduler.sample_loop(plan, model_fn, latents, pass_step=True)
+        if return_latents:
+            return final
+        img = self.vae.apply(
+            {"params": params["vae"]}, final / cfg.vae.scaling_factor, method=self.vae.decode
+        )
+        return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+    def _model_step(
+        self, params, context, embs, embs2, scales, g, b, guess_mode,
+        sample, t, i,
+    ):
+        """One CFG denoise-model evaluation (ControlNets + UNet + guidance
+        combine). The optional W8A8 int8 path (ops/quant.py) wraps exactly
+        this scope — VAE / CLIP / cond embedding stay bf16."""
+        from edgestyle_tpu.ops.quant import quantize_intercept
+
+        with quantize_intercept(self.quant == "int8"):
             if guess_mode:
                 # controlnet sees only the conditional half; the uncond
                 # half gets zero residuals (reference
@@ -249,14 +311,6 @@ class EdgeStylePipeline:
             )
             uncond, cond = jnp.split(noise, 2, axis=0)
             return uncond + g * (cond - uncond)
-
-        final = self.scheduler.sample_loop(plan, model_fn, latents, pass_step=True)
-        if return_latents:
-            return final
-        img = self.vae.apply(
-            {"params": params["vae"]}, final / cfg.vae.scaling_factor, method=self.vae.decode
-        )
-        return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
     @functools.partial(
         jax.jit, static_argnums=(0, 6),

@@ -1,0 +1,210 @@
+"""W8A8 int8 serving quantization (ops/quant.py).
+
+Not a reference-parity feature: the reference (andrei-ace/EdgeStyle) has no
+quantization; this is the TPU-native int8-MXU perf lever. Tests pin (a) the
+quantization math, (b) that the interceptor really routes big convs/matmuls
+through int8 (HLO check), (c) that small/sensitive modules are left alone,
+and (d) end-to-end sanity + closeness on the tiny pipeline.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+import pytest
+
+from edgestyle_tpu.ops.quant import (
+    MIN_QUANT_CHANNELS,
+    quant_conv,
+    quantize_activation,
+    quantize_intercept,
+    quantize_weight,
+)
+
+
+def test_quantize_weight_per_channel_roundtrip(rng):
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 16)), jnp.float32)
+    # scale one output channel way up: per-channel scales must absorb it
+    w = w.at[..., 3].multiply(100.0)
+    q, s = quantize_weight(w, (0, 1, 2))
+    assert q.dtype == jnp.int8 and s.shape == (1, 1, 1, 16)
+    deq = q.astype(jnp.float32) * s
+    err = np.abs(np.asarray(deq - w))
+    # max error per channel is half a quantization step of THAT channel
+    step = np.asarray(s).reshape(16)
+    assert (err.reshape(-1, 16).max(0) <= 0.5 * step + 1e-6).all()
+
+
+def test_quantize_activation_symmetric(rng):
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, 32)), jnp.float32)
+    q, s = quantize_activation(x)
+    assert q.dtype == jnp.int8
+    assert int(jnp.max(jnp.abs(q))) == 127  # absmax maps to full range
+    assert float(jnp.max(jnp.abs(q * s - x))) <= 0.5 * float(s) + 1e-6
+
+
+def test_quant_conv_matches_fp_within_quant_error(rng):
+    conv = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
+    p = conv.init(jax.random.key(0), x)
+    ref = conv.apply(p, x)
+    q = conv.bind(p)
+    out = quant_conv(q, x)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, rel
+
+
+class _Net(nn.Module):
+    big: int = 128
+    small: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.big, (3, 3), padding=((1, 1), (1, 1)), name="big_conv")(x)
+        x = nn.silu(x)
+        b, h, w, c = x.shape
+        y = x.reshape(b, h * w, c)
+        y = nn.Dense(self.big, name="big_dense")(y)  # 128→128 on 256 tokens
+        y = nn.Dense(self.small, name="small_dense")(y)  # below gate
+        x = y.reshape(b, h, w, self.small)
+        return nn.Conv(self.small, (1, 1), name="small_conv")(x)  # below gate
+
+
+def _hlo(fn, *args):
+    return jax.jit(fn).lower(*args).as_text()
+
+
+def test_interceptor_quantizes_only_large_ops(rng):
+    m = _Net()
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
+    p = m.init(jax.random.key(0), x)
+
+    with quantize_intercept():
+        txt = _hlo(m.apply, p, x)
+    # exactly the big conv + big dense go int8: 2 int8 weight tensors and
+    # 2 int8 activation tensors appear as convolution/dot operands
+    assert "xi8>" in txt
+    int8_convs = [
+        l for l in txt.splitlines() if "convolution" in l and "i8>" in l
+    ]
+    int8_dots = [
+        l for l in txt.splitlines()
+        if ("dot_general" in l or "dot(" in l) and "i8>" in l
+    ]
+    assert len(int8_convs) == 1, int8_convs
+    assert len(int8_dots) == 1, int8_dots
+
+    # disabled → no int8 anywhere
+    txt_off = _hlo(m.apply, p, x)
+    assert "xi8>" not in txt_off
+
+    # numerics stay close
+    ref = m.apply(p, x)
+    with quantize_intercept():
+        out = jax.jit(m.apply)(p, x)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.08, rel
+
+
+def test_gate_constants_sane():
+    assert MIN_QUANT_CHANNELS >= 32  # zero-conv heads etc. must stay fp
+
+
+def test_quantize_params_selects_and_skips(rng):
+    from edgestyle_tpu.ops.quant import _is_prequant, quantize_params
+
+    tree = {
+        "down": {"conv1": {"kernel": jnp.asarray(
+            rng.standard_normal((3, 3, 128, 128)), jnp.float32),
+            "bias": jnp.zeros((128,))}},
+        "conv_in": {"kernel": jnp.asarray(
+            rng.standard_normal((3, 3, 4, 128)), jnp.float32)},  # small cin
+        "time_embedding": {"linear_1": {"kernel": jnp.asarray(
+            rng.standard_normal((128, 512)), jnp.float32)}},  # name skip
+        "attn": {"to_q": {"kernel": jnp.asarray(
+            rng.standard_normal((128, 128)), jnp.float32)}},
+        "resnets_0": {"time_emb_proj": {"kernel": jnp.asarray(
+            rng.standard_normal((512, 128)), jnp.float32)}},  # name skip
+        "norm": {"scale": jnp.ones((128,))},
+    }
+    q = quantize_params(tree)
+    assert _is_prequant(q["down"]["conv1"]["kernel"])
+    assert q["down"]["conv1"]["kernel"]["q"].dtype == jnp.int8
+    assert not _is_prequant(q["conv_in"]["kernel"])
+    assert not _is_prequant(q["time_embedding"]["linear_1"]["kernel"])
+    assert _is_prequant(q["attn"]["to_q"]["kernel"])
+    assert not _is_prequant(q["resnets_0"]["time_emb_proj"]["kernel"])
+    assert (q["norm"]["scale"] == tree["norm"]["scale"]).all()
+    # dequantized values match the master weights to half a quant step
+    k = q["down"]["conv1"]["kernel"]
+    deq = k["q"].astype(jnp.float32) * k["s"]
+    assert float(jnp.max(jnp.abs(deq - tree["down"]["conv1"]["kernel"]))) <= (
+        0.5 * float(k["s"].max()) + 1e-6
+    )
+
+
+def test_interceptor_consumes_prequant_kernels(rng):
+    from edgestyle_tpu.ops.quant import quantize_params
+
+    m = _Net()
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
+    p = m.init(jax.random.key(0), x)
+    ref = m.apply(p, x)
+    qp = quantize_params(p["params"])
+    with quantize_intercept():
+        out = jax.jit(m.apply)({"params": qp}, x)
+        txt = _hlo(m.apply, {"params": qp}, x)
+    # weights ENTER the program already int8 (argument types), so the
+    # traced program contains no weight quantization work
+    assert "tensor<3x3x128x128xi8>" in txt
+    assert "tensor<128x128xi8>" in txt
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.08, rel
+
+
+def test_pipeline_quant_int8_close_to_fp():
+    from edgestyle_tpu.models.clip_text import CLIPTextConfig
+    from edgestyle_tpu.models.unet import UNetConfig
+    from edgestyle_tpu.models.vae import VAEConfig
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+
+    # channels >= MIN_QUANT_CHANNELS so the UNet convs actually quantize
+    tiny = PipelineConfig(
+        unet=UNetConfig(
+            block_out_channels=(64, 128), layers_per_block=1,
+            cross_attention_dim=64, num_heads=2, cond_embedding_channels=(8, 16),
+        ),
+        vae=VAEConfig(block_out_channels=(32, 64), layers_per_block=1, sample_size=32),
+        clip=CLIPTextConfig(
+            vocab_size=100, hidden_size=64, num_layers=2, num_heads=2,
+            max_positions=7, intermediate_size=96,
+        ),
+        dtype="float32",
+    )
+    g = np.random.default_rng(0)
+    pipe = EdgeStylePipeline(tiny, attn_impl="xla")
+    params = pipe.init_params(jax.random.key(0))
+    ids = jnp.asarray(g.integers(1, 99, (1, 7)), jnp.int32)
+    neg = jnp.asarray(g.integers(1, 99, (1, 7)), jnp.int32)
+    imgs = [
+        jnp.asarray(g.standard_normal((1, 32, 32, 3)), jnp.float32) * 0.1
+        for _ in range(6)
+    ]
+    ref = pipe(params, ids, neg, imgs, rng=jax.random.key(2), num_inference_steps=3)
+
+    qpipe = EdgeStylePipeline(tiny, attn_impl="xla", quant="int8")
+    out = qpipe(params, ids, neg, imgs, rng=jax.random.key(2), num_inference_steps=3)
+    assert bool(jnp.isfinite(out).all())
+    diff = float(jnp.abs(out - ref).mean())
+    assert 0.0 < diff < 0.05, diff  # active, and close on [0,1] images
+
+
+def test_pipeline_quant_env_and_validation(monkeypatch):
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+
+    with pytest.raises(ValueError):
+        EdgeStylePipeline(PipelineConfig(), attn_impl="xla", quant="int4")
+    monkeypatch.setenv("EDGESTYLE_QUANT", "int8")
+    assert EdgeStylePipeline.__init__.__defaults__  # constructor still lazy
+    p = EdgeStylePipeline(PipelineConfig(), attn_impl="xla")
+    assert p.quant == "int8"
