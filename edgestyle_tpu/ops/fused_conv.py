@@ -251,19 +251,19 @@ def norm_act_conv3x3(
         # int8 MXU. (The Pallas fused path cannot consume int8 kernels —
         # the pipeline rejects QUANT+FUSED_CONV up front.)
         from edgestyle_tpu.ops.norms import group_norm
-        from edgestyle_tpu.ops.quant import quantize_activation
+        from edgestyle_tpu.ops.quant import activation_to_int8
 
         h = group_norm(x, gn_scale, gn_bias, num_groups, eps, act=jax.nn.silu)
-        qx, sx = quantize_activation(h)
+        qx, sx = activation_to_int8(h, kernel.key)
         out = jax.lax.conv_general_dilated(
             qx,
-            kernel["q"],
+            kernel.q,
             window_strides=(1, 1),
             padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
-        out = out.astype(jnp.float32) * (sx * kernel["s"].reshape((1, 1, 1, -1)))
+        out = out.astype(jnp.float32) * (sx * kernel.s.reshape((1, 1, 1, -1)))
         return (out + bias.astype(jnp.float32)).astype(dtype)
     if _eligible(x, kernel, num_groups):
         return _fused(x, gn_scale, gn_bias, kernel, bias, num_groups, eps, dtype)

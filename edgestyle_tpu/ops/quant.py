@@ -9,11 +9,20 @@ through the int8 path is the one remaining >1.2x latency lever at this
 architecture. Measured speedups for the pipeline's own hot shapes are in
 BASELINE.md (scripts/probe_int8.py).
 
-Scheme (standard post-training W8A8, no calibration pass needed):
-  - weights:     symmetric per-output-channel int8, scale = absmax/127
-  - activations: symmetric per-tensor *dynamic* int8 (scale computed on
-    the fly inside the jitted program — an extra reduction + requant pass
-    per op, already counted in the probe's measured speedup)
+Scheme (standard post-training W8A8):
+  - weights:     symmetric per-output-channel int8, scale = absmax/127,
+    pre-quantized once per generation (quantize_params)
+  - activations: symmetric per-tensor int8, two modes:
+      * dynamic ("int8"): scale = absmax on the fly. Simple and
+        calibration-free, but the absmax is a full reduction BARRIER in
+        front of every conv that stops XLA fusing the GN→SiLU producer
+        chain into the conv — measured ~370 ms/generation of standalone
+        convert_reduce fusions (BASELINE.md int8 trace).
+      * static ("int8-static"): per-layer scales recorded once by a
+        calibration pass (:func:`recording` + the pipeline's
+        ``calibrate_int8``), then baked into the trace as constants — the
+        quantize step becomes pure elementwise (mul+round+clip) and fuses
+        back into the producer like the bf16 program.
   - accumulation in int32 on the MXU, dequantized to the layer dtype
 
 Integration is zero-touch via ``flax.linen.intercept_methods``: the
@@ -61,6 +70,50 @@ def quantize_activation(x: jax.Array):
     return q, s
 
 
+# ------------------------------------------------- activation scale modes
+# Module-level context managed by the two context managers below. Tracing
+# is synchronous within a `with` block, so plain globals are sufficient
+# (the serving path funnels all device work through one worker thread).
+_STATIC_SCALES = None  # dict[key, float] — trace-time constants
+_RECORDER = None       # dict[key, traced scalar] — calibration collection
+
+
+@contextlib.contextmanager
+def recording(rec: dict):
+    """Collect dynamic activation scales per layer key during a trace.
+
+    Inside the block every quantized op runs the DYNAMIC path (whatever
+    static table is installed) and stores jnp.maximum-accumulated scale
+    scalars into ``rec``. Trace the model under this, return ``dict(rec)``
+    from the jitted function, and the scales come out as concrete values —
+    that is the whole calibration pass (pipelines/tryon.py
+    ``calibrate_int8``)."""
+    global _RECORDER
+    old = _RECORDER
+    _RECORDER = rec
+    try:
+        yield rec
+    finally:
+        _RECORDER = old
+
+
+def activation_to_int8(x: jax.Array, key=None):
+    """Quantize an activation honoring the current mode: recording →
+    dynamic + collect; static table hit → constant-scale mul+round+clip
+    (fusable, no reduction); otherwise dynamic."""
+    x32 = x.astype(jnp.float32)
+    if _RECORDER is not None and key is not None:
+        q, s = quantize_activation(x)
+        prev = _RECORDER.get(key)
+        _RECORDER[key] = s if prev is None else jnp.maximum(prev, s)
+        return q, s
+    if _STATIC_SCALES is not None and key is not None and key in _STATIC_SCALES:
+        s = float(_STATIC_SCALES[key])
+        q = jnp.clip(jnp.round(x32 / s), -127.0, 127.0).astype(jnp.int8)
+        return q, s
+    return quantize_activation(x)
+
+
 def _norm_pair(v):
     if isinstance(v, int):
         return (v, v)
@@ -92,10 +145,10 @@ def quant_conv(mod: nn.Conv, x: jax.Array) -> jax.Array:
     params = mod.variables["params"]
     kernel = params["kernel"]
     if _is_prequant(kernel):
-        qw, sw = kernel["q"], kernel["s"]
+        qw, sw = kernel.q, kernel.s
     else:
         qw, sw = quantize_weight(kernel, (0, 1, 2))  # HWIO → per-O
-    qx, sx = quantize_activation(x)
+    qx, sx = activation_to_int8(x, kernel.key if _is_prequant(kernel) else None)
     strides = _norm_pair(mod.strides or 1)
     padding = mod.padding
     if isinstance(padding, int):
@@ -129,10 +182,10 @@ def quant_dense(mod: nn.Dense, x: jax.Array) -> jax.Array:
     params = mod.variables["params"]
     kernel = params["kernel"]  # (in, out)
     if _is_prequant(kernel):
-        qw, sw = kernel["q"], kernel["s"]
+        qw, sw = kernel.q, kernel.s
     else:
         qw, sw = quantize_weight(kernel, (0,))
-    qx, sx = quantize_activation(x)
+    qx, sx = activation_to_int8(x, kernel.key if _is_prequant(kernel) else None)
     y = lax.dot_general(
         qx, qw, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -159,8 +212,29 @@ def quant_dense(mod: nn.Dense, x: jax.Array) -> jax.Array:
 _SKIP_NAME_PARTS = ("time_embedding", "time_emb_proj")
 
 
+@jax.tree_util.register_pytree_node_class
+class QuantKernel:
+    """Pre-quantized kernel: int8 values + per-output-channel scale, with
+    the layer's tree path carried as STATIC metadata (usable as a python
+    string at trace time — keys the static activation-scale table). Being
+    a registered pytree node it flows through jit boundaries, flax
+    variable dicts, and device_put like any other param leaf pair."""
+
+    def __init__(self, q, s, key: str = ""):
+        self.q = q
+        self.s = s
+        self.key = key
+
+    def tree_flatten(self):
+        return (self.q, self.s), self.key
+
+    @classmethod
+    def tree_unflatten(cls, key, children):
+        return cls(children[0], children[1], key)
+
+
 def _is_prequant(kernel) -> bool:
-    return isinstance(kernel, dict) and "q" in kernel and "s" in kernel
+    return isinstance(kernel, QuantKernel)
 
 
 def quantize_params(tree):
@@ -173,7 +247,7 @@ def quantize_params(tree):
     scan so the quantization work runs once per generation."""
 
     def walk(sub, path):
-        if isinstance(sub, dict) and not _is_prequant(sub):
+        if isinstance(sub, dict):
             return {k: walk(v, path + (k,)) for k, v in sub.items()}
         leaf = sub
         if path and path[-1] == "kernel" and hasattr(leaf, "ndim"):
@@ -181,24 +255,17 @@ def quantize_params(tree):
                 return leaf
             if leaf.ndim == 4 and min(leaf.shape[2], leaf.shape[3]) >= MIN_QUANT_CHANNELS:
                 q, s = quantize_weight(leaf, (0, 1, 2))
-                return {"q": q, "s": s}
+                return QuantKernel(q, s, "/".join(path))
             if leaf.ndim == 2 and min(leaf.shape) >= MIN_QUANT_CHANNELS:
                 q, s = quantize_weight(leaf, (0,))
-                return {"q": q, "s": s}
+                return QuantKernel(q, s, "/".join(path))
         return leaf
 
     return walk(tree, ())
 
 
-def _kernel_qs(params):
-    k = params["kernel"]
-    if _is_prequant(k):
-        return k["q"], k["s"]
-    return None
-
-
 def _dequant_kernel(k):
-    return k["q"].astype(jnp.float32) * k["s"]
+    return k.q.astype(jnp.float32) * k.s
 
 
 def _interceptor(next_fun, args, kwargs, context):
@@ -226,9 +293,20 @@ def _interceptor(next_fun, args, kwargs, context):
     return next_fun(*args, **kwargs)
 
 
-def quantize_intercept(enable: bool = True):
+@contextlib.contextmanager
+def quantize_intercept(enable: bool = True, static_scales=None):
     """Context manager: trace every nn.Conv / nn.Dense call inside as
-    W8A8 int8 (large ops only — see the _quantizable gates)."""
+    W8A8 int8 (large ops only — see the _quantizable gates). Pass a
+    ``static_scales`` table ({layer key: float}) to use calibrated
+    constant activation scales instead of dynamic absmax."""
+    global _STATIC_SCALES
     if not enable:
-        return contextlib.nullcontext()
-    return nn.intercept_methods(_interceptor)
+        yield
+        return
+    old = _STATIC_SCALES
+    _STATIC_SCALES = static_scales
+    try:
+        with nn.intercept_methods(_interceptor):
+            yield
+    finally:
+        _STATIC_SCALES = old

@@ -83,9 +83,10 @@ class EdgeStylePipeline:
         self.quant = quant if quant is not None else os.environ.get(
             "EDGESTYLE_QUANT", "none"
         )
-        if self.quant not in ("none", "int8"):
+        if self.quant not in ("none", "int8", "int8-static"):
             raise ValueError(f"unknown quant mode {self.quant!r}")
-        if self.quant == "int8" and os.environ.get("EDGESTYLE_FUSED_CONV") == "1":
+        self._int8_scales = None  # int8-static calibration table
+        if self.quant.startswith("int8") and os.environ.get("EDGESTYLE_FUSED_CONV") == "1":
             # the fused-conv ResnetBlock reads kernels directly (not via
             # nn.Conv), so it cannot consume pre-quantized kernel leaves
             raise ValueError("EDGESTYLE_QUANT=int8 is incompatible with "
@@ -240,7 +241,7 @@ class EdgeStylePipeline:
         if g.ndim:
             g = g.reshape((b,) + (1,) * 3)
 
-        if self.quant == "int8":
+        if self.quant.startswith("int8"):
             # pre-quantize the denoise-step weight trees ONCE, outside the
             # UniPC scan — XLA does not hoist per-call weight quantization
             # out of the loop (393 ms/generation of convert_reduce fusions,
@@ -283,7 +284,10 @@ class EdgeStylePipeline:
         this scope — VAE / CLIP / cond embedding stay bf16."""
         from edgestyle_tpu.ops.quant import quantize_intercept
 
-        with quantize_intercept(self.quant == "int8"):
+        with quantize_intercept(
+            self.quant.startswith("int8"),
+            static_scales=self._int8_scales if self.quant == "int8-static" else None,
+        ):
             if guess_mode:
                 # controlnet sees only the conditional half; the uncond
                 # half gets zero residuals (reference
@@ -369,11 +373,82 @@ class EdgeStylePipeline:
                 f"guidance_scale must be a scalar or (B,), got "
                 f"{guidance_scale.shape} for B={prompt_ids.shape[0]}"
             )
+        if self.quant == "int8-static" and self._int8_scales is None:
+            # lazy calibration on the FIRST request's own inputs — must
+            # happen before _generate_jit ever traces (the jit cache is
+            # keyed on `self`, and the table is baked in as constants)
+            self.calibrate_int8(params, prompt_ids, negative_prompt_ids,
+                                cond_images)
         return self._generate_jit(
             params, prompt_ids, negative_prompt_ids, tuple(cond_images), rng,
             num_inference_steps, guidance_scale, conditioning_scale,
             latents, return_latents=return_latents, guess_mode=guess_mode,
         )
+
+    def calibrate_int8(
+        self,
+        params,
+        prompt_ids: jax.Array,
+        negative_prompt_ids: jax.Array,
+        cond_images: Sequence[jax.Array],
+        rng: Optional[jax.Array] = None,
+        margin: float = 1.25,
+        timesteps: Sequence[int] = (999, 749, 499, 249, 1),
+    ):
+        """Record per-layer activation scales for the ``int8-static`` mode.
+
+        Runs the denoise model (ControlNets + UNet, the exact scope the
+        int8 path quantizes) at a handful of timesteps with unit-normal
+        latents and the given conditioning, collecting each layer's dynamic
+        absmax scale via ops.quant.recording. The max over timesteps times
+        ``margin`` becomes the static table; outliers beyond it are clipped
+        by the static quantizer. Called lazily by :meth:`__call__` on the
+        first request; call explicitly to calibrate on representative data.
+        """
+        from edgestyle_tpu.ops.quant import quantize_params, recording
+
+        cfg = self.cfg
+        b = prompt_ids.shape[0]
+        h = w = cfg.vae.sample_size // self.vae_downscale
+
+        # ONE jitted single-step program dispatched once per timestep —
+        # compile cost ≈ one denoise step (an unrolled multi-step variant
+        # measured dramatically slower to compile for zero extra signal)
+        def fn(params, ids, neg, imgs, key, t):
+            context = self.encode_prompt(params, ids, neg)
+            embs = self.embed_cond_images(params, imgs)
+            embs2 = [jnp.concatenate([e, e], axis=0) for e in embs]
+            cn = {
+                k: quantize_params(v)
+                if k.startswith("lora_") or k == "static" else v
+                for k, v in params["controlnet"].items()
+            }
+            qp = {**params, "unet": quantize_params(params["unet"]),
+                  "controlnet": cn}
+            scales = jnp.ones((1, cfg.num_branches), jnp.float32)
+            lat = jax.random.normal(
+                key, (b, h, w, cfg.unet.in_channels), jnp.float32
+            )
+            rec: Dict = {}
+            with recording(rec):
+                self._model_step(
+                    qp, context, embs, embs2, scales,
+                    jnp.float32(1.0), b, False, lat, t, 0,
+                )
+                return dict(rec)
+
+        jfn = jax.jit(fn)
+        key = rng if rng is not None else jax.random.key(0)
+        table: Dict[str, float] = {}
+        for j, t in enumerate(timesteps):
+            rec = jfn(
+                params, prompt_ids, negative_prompt_ids, tuple(cond_images),
+                jax.random.fold_in(key, j), jnp.int32(t),
+            )
+            for k, v in rec.items():
+                table[k] = max(table.get(k, 0.0), float(v))
+        self._int8_scales = {k: v * margin for k, v in table.items()}
+        return self._int8_scales
 
     def _step_scales(self, num_steps, conditioning_scale, start, end):
         """(num_steps, num_branches) per-step conditioning scales: the

@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--px", type=int, default=512)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--mode", choices=["int8", "int8-static"], default="int8")
     args = ap.parse_args()
     print(jax.default_backend(), jax.devices(), flush=True)
 
@@ -47,7 +48,7 @@ def main():
 
     pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
     qpipe = EdgeStylePipeline(
-        PipelineConfig(dtype="bfloat16"), attn_impl="auto", quant="int8"
+        PipelineConfig(dtype="bfloat16"), attn_impl="auto", quant=args.mode
     )
     params = pipe.init_params(jax.random.key(0))
     params = jax.tree.map(
@@ -64,7 +65,7 @@ def main():
     print(f"bf16 out std={o16.std():.4f}", flush=True)
 
     results = {
-        "tryon_ssim_bf16_vs_int8": round(
+        "tryon_ssim_bf16_vs_quant": round(
             float(jnp.mean(ssim(jnp.asarray(o16), jnp.asarray(o8)))), 5
         ),
         "tryon_psnr_db": round(
@@ -74,6 +75,7 @@ def main():
         "steps": args.steps,
         "px": args.px,
         "batch": b,
+        "mode": args.mode,
     }
     t16 = timeit(run, pipe, iters=3)
     t8 = timeit(run, qpipe, iters=3)

@@ -129,7 +129,7 @@ def test_quantize_params_selects_and_skips(rng):
     }
     q = quantize_params(tree)
     assert _is_prequant(q["down"]["conv1"]["kernel"])
-    assert q["down"]["conv1"]["kernel"]["q"].dtype == jnp.int8
+    assert q["down"]["conv1"]["kernel"].q.dtype == jnp.int8
     assert not _is_prequant(q["conv_in"]["kernel"])
     assert not _is_prequant(q["time_embedding"]["linear_1"]["kernel"])
     assert _is_prequant(q["attn"]["to_q"]["kernel"])
@@ -137,9 +137,10 @@ def test_quantize_params_selects_and_skips(rng):
     assert (q["norm"]["scale"] == tree["norm"]["scale"]).all()
     # dequantized values match the master weights to half a quant step
     k = q["down"]["conv1"]["kernel"]
-    deq = k["q"].astype(jnp.float32) * k["s"]
+    assert k.key == "down/conv1/kernel"
+    deq = k.q.astype(jnp.float32) * k.s
     assert float(jnp.max(jnp.abs(deq - tree["down"]["conv1"]["kernel"]))) <= (
-        0.5 * float(k["s"].max()) + 1e-6
+        0.5 * float(k.s.max()) + 1e-6
     )
 
 
@@ -197,6 +198,59 @@ def test_pipeline_quant_int8_close_to_fp():
     assert bool(jnp.isfinite(out).all())
     diff = float(jnp.abs(out - ref).mean())
     assert 0.0 < diff < 0.05, diff  # active, and close on [0,1] images
+
+
+def _tiny_pipe_setup():
+    from edgestyle_tpu.models.clip_text import CLIPTextConfig
+    from edgestyle_tpu.models.unet import UNetConfig
+    from edgestyle_tpu.models.vae import VAEConfig
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+
+    tiny = PipelineConfig(
+        unet=UNetConfig(
+            block_out_channels=(64, 128), layers_per_block=1,
+            cross_attention_dim=64, num_heads=2, cond_embedding_channels=(8, 16),
+        ),
+        vae=VAEConfig(block_out_channels=(32, 64), layers_per_block=1, sample_size=32),
+        clip=CLIPTextConfig(
+            vocab_size=100, hidden_size=64, num_layers=2, num_heads=2,
+            max_positions=7, intermediate_size=96,
+        ),
+        dtype="float32",
+    )
+    g = np.random.default_rng(0)
+    pipe = EdgeStylePipeline(tiny, attn_impl="xla")
+    params = pipe.init_params(jax.random.key(0))
+    ids = jnp.asarray(g.integers(1, 99, (1, 7)), jnp.int32)
+    neg = jnp.asarray(g.integers(1, 99, (1, 7)), jnp.int32)
+    imgs = [
+        jnp.asarray(g.standard_normal((1, 32, 32, 3)), jnp.float32) * 0.1
+        for _ in range(6)
+    ]
+    return tiny, pipe, params, ids, neg, imgs
+
+
+def test_pipeline_quant_int8_static_calibrates_and_matches():
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline
+
+    tiny, pipe, params, ids, neg, imgs = _tiny_pipe_setup()
+    ref = pipe(params, ids, neg, imgs, rng=jax.random.key(2), num_inference_steps=3)
+
+    spipe = EdgeStylePipeline(tiny, attn_impl="xla", quant="int8-static")
+    assert spipe._int8_scales is None
+    out = spipe(params, ids, neg, imgs, rng=jax.random.key(2), num_inference_steps=3)
+    # lazy calibration populated a per-layer float table covering the
+    # quantized scope (UNet + both ControlLoRA branches + static branch)
+    tbl = spipe._int8_scales
+    assert tbl and all(isinstance(v, float) and v > 0 for v in tbl.values())
+    assert any(k.startswith("down_blocks") or "conv" in k for k in tbl)
+    assert bool(jnp.isfinite(out).all())
+    diff = float(jnp.abs(out - ref).mean())
+    assert 0.0 < diff < 0.05, diff
+
+    # explicit recalibration API returns the same table shape
+    tbl2 = spipe.calibrate_int8(params, ids, neg, imgs)
+    assert set(tbl2) == set(tbl)
 
 
 def test_pipeline_quant_env_and_validation(monkeypatch):
