@@ -219,8 +219,14 @@ def extract_subject(
                     iqa(jnp.asarray(ex["subject"], jnp.float32)[None])[0]
                 ))
             scores.append(float(np.mean(parts)) if parts else 0.0)
-        order = np.argsort(scores)[::-1][:top_k]
-        results = [results[i] for i in sorted(order)]
+        if any(scores):
+            order = np.argsort(scores)[::-1][:top_k]
+            results = [results[i] for i in sorted(order)]
+        else:
+            # no ranking signal at all (extract() without subject_score and
+            # no iqa): keep the FIRST top_k in frame order rather than
+            # letting a reversed zero-tie argsort arbitrarily keep the last
+            results = results[:top_k]
 
     for idx, processed, skel, kp, ex in results:
         name = f"{idx:06d}"

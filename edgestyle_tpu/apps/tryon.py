@@ -210,7 +210,12 @@ class TryOnSystem:
             keypoints_px if keypoints_px is not None else np.full((18, 2), np.nan),
             jnp.float32,
         )
-        out = jax.jit(lambda p, i, k: self.preproc(p, i, k))(
+        if not hasattr(self, "_extract_jit"):
+            # hoisted: a fresh jax.jit(lambda) per frame re-traces the
+            # whole preprocess graph for every video frame (the persistent
+            # cache only skips XLA compilation, not tracing/lowering)
+            self._extract_jit = jax.jit(lambda p, i, k: self.preproc(p, i, k))
+        out = self._extract_jit(
             self.sam_params, jnp.asarray(img01, jnp.float32), kps
         )
         return {

@@ -350,6 +350,12 @@ def main(argv=None):
         elif args.pairs == ["generic"]:
             pairs = IQA_PROMPT_PAIRS
         else:
+            bad = [p for p in args.pairs if "|" not in p]
+            if bad:
+                p.error(
+                    f"--pairs entries must be 'positive|negative' (or the "
+                    f"single word 'generic'); got {bad}"
+                )
             pairs = tuple(tuple(p.split("|", 1)) for p in args.pairs)
         tok, enc_img, enc_txt = _clip_encoders(args.tokenizer_dir, args.clip_model)
         iqa = ClipIQA(tok, enc_img, enc_txt, pairs)

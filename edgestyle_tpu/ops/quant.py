@@ -206,10 +206,14 @@ def quant_dense(mod: nn.Dense, x: jax.Array) -> jax.Array:
 # interceptor consumes it directly; int8 weights also halve the kernel
 # HBM streaming the convs pay per step.
 
-# Dense layers that run on (B, C) vectors (time embeddings) are skipped by
-# NAME at tree level — the interceptor's x.ndim gate can't be evaluated
-# there, and they are latency-trivial anyway.
-_SKIP_NAME_PARTS = ("time_embedding", "time_emb_proj")
+# Skipped by NAME at tree level:
+# - time embeddings run on (B, C) vectors — the interceptor's x.ndim gate
+#   can't be evaluated at tree level, and they are latency-trivial;
+# - the ControlNet zero-conv heads (controlnet_down_blocks_*/
+#   controlnet_mid_block) write directly onto the residuals injected into
+#   the UNet — quality-sensitive and a small fraction of conv FLOPs, so
+#   they stay bf16 as the module docstring promises.
+_SKIP_NAME_PARTS = ("time_embedding", "time_emb_proj", "controlnet_")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -237,14 +241,22 @@ def _is_prequant(kernel) -> bool:
     return isinstance(kernel, QuantKernel)
 
 
-def quantize_params(tree):
+def quantize_params(tree, prefix: str = ""):
     """Pre-quantize every large conv/dense kernel in a param tree.
 
     Conv kernels (HWIO, ndim 4) with Cin ≥ MIN_QUANT_CHANNELS and
     Cout ≥ MIN_QUANT_CHANNELS, and Dense kernels ((in, out), ndim 2) with
-    both dims ≥ MIN_QUANT_CHANNELS, become {"q": int8, "s": scale}; every
+    both dims ≥ MIN_QUANT_CHANNELS, become QuantKernel leaves; every
     other leaf passes through untouched. Trace this OUTSIDE the denoise
-    scan so the quantization work runs once per generation."""
+    scan so the quantization work runs once per generation.
+
+    ``prefix`` namespaces the static activation-scale keys: the ControlLoRA
+    trunk deliberately has IDENTICAL param names to the UNet (weight
+    tying), so un-prefixed keys would silently max-merge up to four
+    different layers' calibrated scales into one entry. Tied kernels
+    quantized under several prefixes cost nothing extra at runtime: the
+    q/s computations are identical ops on the same traced arrays, which
+    XLA CSEs into one buffer (only the static key metadata differs)."""
 
     def walk(sub, path):
         if isinstance(sub, dict):
@@ -253,15 +265,35 @@ def quantize_params(tree):
         if path and path[-1] == "kernel" and hasattr(leaf, "ndim"):
             if any(p in part for p in _SKIP_NAME_PARTS for part in path):
                 return leaf
+            pre = (prefix,) if prefix else ()
             if leaf.ndim == 4 and min(leaf.shape[2], leaf.shape[3]) >= MIN_QUANT_CHANNELS:
                 q, s = quantize_weight(leaf, (0, 1, 2))
-                return QuantKernel(q, s, "/".join(path))
+                return QuantKernel(q, s, "/".join(pre + path))
             if leaf.ndim == 2 and min(leaf.shape) >= MIN_QUANT_CHANNELS:
                 q, s = quantize_weight(leaf, (0,))
-                return QuantKernel(q, s, "/".join(path))
+                return QuantKernel(q, s, "/".join(pre + path))
         return leaf
 
     return walk(tree, ())
+
+
+def quantize_denoise_params(params):
+    """The ONE definition of the quantized scope for the denoise step:
+    the UNet tree and every ControlNet branch tree (static conv-cond +
+    ControlLoRA branches), each under its own key prefix; fusion blocks,
+    VAE and CLIP stay untouched. Used identically by generation
+    (pipelines/tryon.py _generate) and calibration (calibrate_int8) so
+    the static table always matches the serving layer set."""
+    cn = {
+        k: quantize_params(v, prefix=k)
+        if k.startswith("lora_") or k == "static" else v
+        for k, v in params["controlnet"].items()
+    }
+    return {
+        **params,
+        "unet": quantize_params(params["unet"], prefix="unet"),
+        "controlnet": cn,
+    }
 
 
 def _dequant_kernel(k):

@@ -211,9 +211,15 @@ class EdgeStylePipeline:
         latents,
         return_latents: bool,
         guess_mode: bool = False,
+        quant_scales=None,
     ):
         cfg = self.cfg
         b = prompt_ids.shape[0]
+        if quant_scales is None and self.quant == "int8-static":
+            # every entry point must pass the calibrated table explicitly
+            # (a hashable static jit arg — so recalibration retraces); the
+            # lazy path in __call__ fills it on the first request
+            quant_scales = self._quant_scales_static()
         context = self.encode_prompt(params, prompt_ids, negative_prompt_ids)
 
         embs = self.embed_cond_images(params, cond_images)
@@ -248,23 +254,14 @@ class EdgeStylePipeline:
             # BASELINE.md int8 trace), and int8 kernels also halve the
             # per-step weight streaming. Must happen AFTER encode_prompt /
             # embed_cond_images, which run un-intercepted on raw params.
-            from edgestyle_tpu.ops.quant import quantize_params
+            from edgestyle_tpu.ops.quant import quantize_denoise_params
 
-            cn = {
-                k: quantize_params(v)
-                if k.startswith("lora_") or k == "static" else v
-                for k, v in params["controlnet"].items()
-            }
-            params = {
-                **params,
-                "unet": quantize_params(params["unet"]),
-                "controlnet": cn,
-            }
+            params = quantize_denoise_params(params)
 
         def model_fn(sample, t, i):
             return self._model_step(
                 params, context, embs, embs2, scales, g, b, guess_mode,
-                sample, t, i,
+                sample, t, i, quant_scales=quant_scales,
             )
 
         final = self.scheduler.sample_loop(plan, model_fn, latents, pass_step=True)
@@ -275,9 +272,22 @@ class EdgeStylePipeline:
         )
         return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
+    def _quant_scales_static(self):
+        """The int8-static calibration table as a hashable static value
+        (tuple of sorted items) — baked into each trace, so replacing the
+        table via calibrate_int8 genuinely retraces instead of silently
+        reusing executables with the old constants."""
+        if self._int8_scales is None:
+            raise RuntimeError(
+                "int8-static mode needs a calibration table: call "
+                "calibrate_int8(...) first (EdgeStylePipeline.__call__ does "
+                "this lazily on the first request)"
+            )
+        return tuple(sorted(self._int8_scales.items()))
+
     def _model_step(
         self, params, context, embs, embs2, scales, g, b, guess_mode,
-        sample, t, i,
+        sample, t, i, quant_scales=None,
     ):
         """One CFG denoise-model evaluation (ControlNets + UNet + guidance
         combine). The optional W8A8 int8 path (ops/quant.py) wraps exactly
@@ -286,7 +296,7 @@ class EdgeStylePipeline:
 
         with quantize_intercept(
             self.quant.startswith("int8"),
-            static_scales=self._int8_scales if self.quant == "int8-static" else None,
+            static_scales=dict(quant_scales) if quant_scales else None,
         ):
             if guess_mode:
                 # controlnet sees only the conditional half; the uncond
@@ -318,17 +328,17 @@ class EdgeStylePipeline:
 
     @functools.partial(
         jax.jit, static_argnums=(0, 6),
-        static_argnames=("return_latents", "guess_mode"),
+        static_argnames=("return_latents", "guess_mode", "quant_scales"),
     )
     def _generate_jit(
         self, params, prompt_ids, negative_prompt_ids, cond_images, rng,
         num_inference_steps, guidance_scale, conditioning_scale, latents,
-        return_latents=False, guess_mode=False,
+        return_latents=False, guess_mode=False, quant_scales=None,
     ):
         return self._generate(
             params, prompt_ids, negative_prompt_ids, cond_images, rng,
             num_inference_steps, guidance_scale, conditioning_scale, latents,
-            return_latents, guess_mode,
+            return_latents, guess_mode, quant_scales=quant_scales,
         )
 
     def __call__(
@@ -373,16 +383,20 @@ class EdgeStylePipeline:
                 f"guidance_scale must be a scalar or (B,), got "
                 f"{guidance_scale.shape} for B={prompt_ids.shape[0]}"
             )
-        if self.quant == "int8-static" and self._int8_scales is None:
-            # lazy calibration on the FIRST request's own inputs — must
-            # happen before _generate_jit ever traces (the jit cache is
-            # keyed on `self`, and the table is baked in as constants)
-            self.calibrate_int8(params, prompt_ids, negative_prompt_ids,
-                                cond_images)
+        quant_scales = None
+        if self.quant == "int8-static":
+            if self._int8_scales is None:
+                # lazy calibration on the FIRST request's own inputs
+                self.calibrate_int8(params, prompt_ids, negative_prompt_ids,
+                                    cond_images)
+            # passed as a hashable STATIC arg: a recalibrated table is a
+            # different cache key, so it genuinely retraces
+            quant_scales = self._quant_scales_static()
         return self._generate_jit(
             params, prompt_ids, negative_prompt_ids, tuple(cond_images), rng,
             num_inference_steps, guidance_scale, conditioning_scale,
             latents, return_latents=return_latents, guess_mode=guess_mode,
+            quant_scales=quant_scales,
         )
 
     def calibrate_int8(
@@ -405,7 +419,7 @@ class EdgeStylePipeline:
         by the static quantizer. Called lazily by :meth:`__call__` on the
         first request; call explicitly to calibrate on representative data.
         """
-        from edgestyle_tpu.ops.quant import quantize_params, recording
+        from edgestyle_tpu.ops.quant import quantize_denoise_params, recording
 
         cfg = self.cfg
         b = prompt_ids.shape[0]
@@ -418,13 +432,7 @@ class EdgeStylePipeline:
             context = self.encode_prompt(params, ids, neg)
             embs = self.embed_cond_images(params, imgs)
             embs2 = [jnp.concatenate([e, e], axis=0) for e in embs]
-            cn = {
-                k: quantize_params(v)
-                if k.startswith("lora_") or k == "static" else v
-                for k, v in params["controlnet"].items()
-            }
-            qp = {**params, "unet": quantize_params(params["unet"]),
-                  "controlnet": cn}
+            qp = quantize_denoise_params(params)
             scales = jnp.ones((1, cfg.num_branches), jnp.float32)
             lat = jax.random.normal(
                 key, (b, h, w, cfg.unet.in_channels), jnp.float32

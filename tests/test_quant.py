@@ -248,9 +248,25 @@ def test_pipeline_quant_int8_static_calibrates_and_matches():
     diff = float(jnp.abs(out - ref).mean())
     assert 0.0 < diff < 0.05, diff
 
-    # explicit recalibration API returns the same table shape
+    # keys are namespaced per branch: the ControlLoRA trunk shares param
+    # NAMES with the UNet (weight tying), so un-prefixed keys would merge
+    # different layers' scales (review finding, r3)
+    assert any(k.startswith("unet/") for k in tbl)
+    assert any(k.startswith("lora_0/") for k in tbl)
+    assert any(k.startswith("static/") for k in tbl)
+    # the zero-conv heads stay bf16 (quality-sensitive residual writers)
+    assert not any("controlnet_down_blocks" in k or "controlnet_mid_block" in k
+                   for k in tbl)
+
+    # explicit recalibration API returns the same table shape, and a
+    # DIFFERENT table genuinely retraces (static jit arg, not baked self
+    # state): inflate every scale 100x and the output must change
     tbl2 = spipe.calibrate_int8(params, ids, neg, imgs)
     assert set(tbl2) == set(tbl)
+    spipe._int8_scales = {k: v * 100.0 for k, v in tbl2.items()}
+    out_bad = spipe(params, ids, neg, imgs, rng=jax.random.key(2),
+                    num_inference_steps=3)
+    assert float(jnp.abs(out_bad - out).mean()) > 1e-4
 
 
 def test_pipeline_quant_env_and_validation(monkeypatch):
