@@ -269,6 +269,37 @@ def test_pipeline_quant_int8_static_calibrates_and_matches():
     assert float(jnp.abs(out_bad - out).mean()) > 1e-4
 
 
+def test_generate_dp_int8_static_matches_single_device():
+    """int8 × GSPMD: the data-parallel batched generate under int8-static
+    must equal the single-device program (same static scale table, int8
+    convs are deterministic, threefry partitions)."""
+    from edgestyle_tpu.core.mesh import MeshSpec, make_mesh
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline
+
+    tiny, _, params, _, _, _ = _tiny_pipe_setup()
+    g = np.random.default_rng(3)
+    b = 8
+    ids = jnp.asarray(g.integers(1, 99, (b, 7)), jnp.int32)
+    neg = jnp.asarray(g.integers(1, 99, (b, 7)), jnp.int32)
+    imgs = [
+        jnp.asarray(g.standard_normal((b, 32, 32, 3)), jnp.float32) * 0.1
+        for _ in range(6)
+    ]
+    spipe = EdgeStylePipeline(tiny, attn_impl="xla", quant="int8-static")
+    single = spipe(params, ids, neg, imgs, rng=jax.random.key(5),
+                   num_inference_steps=2)
+    tbl = dict(spipe._int8_scales)
+
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    dp = spipe.generate_dp(mesh, params, ids, neg, imgs,
+                           rng=jax.random.key(5), num_inference_steps=2)
+    assert len(dp.sharding.device_set) == 8
+    assert spipe._int8_scales == tbl  # DP reused the calibration
+    np.testing.assert_allclose(
+        np.asarray(dp), np.asarray(single), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_pipeline_quant_env_and_validation(monkeypatch):
     from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
 
