@@ -231,9 +231,43 @@ def bench_fused():
             "vs_baseline": round((1.0 / dt) / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
 
 
+def bench_tryon_int8_b4():
+    """Opt-in (not in --config all): B=4 serving throughput with the W8A8
+    int8-static path (ops/quant.py). Kept out of the default set because
+    the calibration + int8 program compiles add ~20 min on a cold cache
+    and the mode itself is opt-in; BASELINE.md carries the measurements."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+
+    pipe = EdgeStylePipeline(
+        PipelineConfig(dtype="bfloat16"), attn_impl="auto", quant="int8-static"
+    )
+    params = pipe.init_params(jax.random.key(0))
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
+    )
+    rng = np.random.default_rng(0)
+    B = 4
+    ids = jnp.asarray(rng.integers(1, 49000, (B, 77)), jnp.int32)
+    neg = jnp.asarray(rng.integers(1, 49000, (B, 77)), jnp.int32)
+    imgs = [jnp.asarray(rng.standard_normal((B, 512, 512, 3)), jnp.float32) * 0.1
+            for _ in range(6)]
+    dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
+                              num_inference_steps=20, guidance_scale=3.5))
+    ips = B / dt
+    return {"metric": "tryon_int8_static_b4_images_per_sec", "value": round(ips, 4),
+            "unit": "images/sec",
+            "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+
+
 CONFIGS = {"tryon": bench_tryon, "tryon_b4": bench_tryon_b4, "vae": bench_vae,
            "sam": bench_sam, "unet_cn": bench_unet_cn, "train": bench_train,
            "fused": bench_fused}
+# runnable by name but excluded from --config all (opt-in feature; heavy
+# extra compiles)
+OPTIONAL_CONFIGS = {"tryon_int8_b4": bench_tryon_int8_b4}
 
 
 def main():
@@ -246,15 +280,20 @@ def main():
     # default "all": the driver's BENCH_r{N}.json should carry every config
     # (VERDICT r2 item 5) so VAE/SAM/train regressions are machine-visible;
     # the headline try-on metric stays the FIRST line emitted.
-    ap.add_argument("--config", choices=list(CONFIGS) + ["all"], default="all")
+    ap.add_argument(
+        "--config",
+        choices=list(CONFIGS) + list(OPTIONAL_CONFIGS) + ["all"],
+        default="all",
+    )
     args = ap.parse_args()
     names = list(CONFIGS) if args.config == "all" else [args.config]
+    runnable = {**CONFIGS, **OPTIONAL_CONFIGS}
     for n in names:
         # one config failing (e.g. a tunnel wedge) must not lose the rest;
         # lines flush as they complete so a timeout still keeps the
         # headline metric (emitted first)
         try:
-            print(json.dumps(CONFIGS[n]()), flush=True)
+            print(json.dumps(runnable[n]()), flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"metric": n, "error": f"{type(e).__name__}: {e}"}),
                   flush=True)
