@@ -45,6 +45,13 @@ def parse_args(argv=None):
                         "matching the reference's dynamic-batch export intent")
     p.add_argument("--dtype", choices=("bfloat16", "float32"), default="bfloat16")
     p.add_argument("--guidance", type=float, default=3.5)
+    p.add_argument("--quant", choices=("none", "int8", "int8-static"),
+                   default="none",
+                   help="bake the W8A8 int8 denoise path (ops/quant.py) "
+                        "into the exported unet_controlnet graph; "
+                        "int8-static calibrates activation scales first "
+                        "(on random conditioning unless real checkpoints "
+                        "AND representative inputs are wired in)")
     return p.parse_args(argv)
 
 
@@ -109,18 +116,45 @@ def main(argv=None, config=None):
         # export_onnx.py:138-149).
         n_br = cfg.num_branches
 
-        def denoise_step(p, sample, t, context, embs, guidance):
-            x2 = jnp.concatenate([sample, sample], axis=0)
-            t2 = jnp.broadcast_to(t, (2 * b,))
-            down, mid = pipe.mcn(p["controlnet"], x2, t2, context, embs,
-                                 [1.0] * n_br)
-            noise = pipe.unet.apply(
-                {"params": p["unet"]}, x2, t2, context,
-                down_block_additional_residuals=down,
-                mid_block_additional_residual=mid,
+        quant_scales = None
+        if args.quant == "int8-static":
+            # calibrate on random conditioning through the SAME pipeline
+            # machinery serving uses; with real checkpoints the table is
+            # representative of the weights (activations depend mildly on
+            # conditioning, covered by the calibration margin + clip)
+            qpipe = EdgeStylePipeline(cfg, quant="int8-static")
+            ids = jnp.asarray(rng.integers(1, cfg.clip.vocab_size,
+                                           (b, cfg.clip.max_positions)), jnp.int32)
+            qpipe.calibrate_int8(
+                params, ids, ids,
+                [_rand((b, cfg.vae.sample_size, cfg.vae.sample_size, 3)).astype(f32)
+                 for _ in range(n_br)],
             )
-            uncond, cond = jnp.split(noise, 2, axis=0)
-            return uncond + guidance * (cond - uncond)
+            quant_scales = qpipe._quant_scales_static()
+
+        def denoise_step(p, sample, t, context, embs, guidance):
+            from edgestyle_tpu.ops.quant import (
+                quantize_denoise_params,
+                quantize_intercept,
+            )
+
+            if args.quant != "none":
+                p = quantize_denoise_params(p)
+            with quantize_intercept(
+                args.quant != "none",
+                static_scales=dict(quant_scales) if quant_scales else None,
+            ):
+                x2 = jnp.concatenate([sample, sample], axis=0)
+                t2 = jnp.broadcast_to(t, (2 * b,))
+                down, mid = pipe.mcn(p["controlnet"], x2, t2, context, embs,
+                                     [1.0] * n_br)
+                noise = pipe.unet.apply(
+                    {"params": p["unet"]}, x2, t2, context,
+                    down_block_additional_residuals=down,
+                    mid_block_additional_residual=mid,
+                )
+                uncond, cond = jnp.split(noise, 2, axis=0)
+                return uncond + guidance * (cond - uncond)
 
         ex = (
             params,

@@ -300,6 +300,29 @@ def test_generate_dp_int8_static_matches_single_device():
     )
 
 
+def test_export_cli_int8_static(tmp_path):
+    """apps/export.py --quant int8-static: the deployment denoise graph
+    carries the quantized path (int8 kernels inside the serialized
+    program) and passes export_program's reload parity gate."""
+    from edgestyle_tpu.apps.export import main
+
+    tiny = _tiny_pipe_setup()[0]
+    report = main(
+        ["--output_dir", str(tmp_path), "--random_init",
+         "--what", "unet_controlnet", "--dtype", "float32",
+         "--quant", "int8-static"],
+        config=tiny,
+    )
+    path = tmp_path / "unet_controlnet.stablehlo"
+    assert path.exists() and report["unet_controlnet"]["flops"] > 0
+    from edgestyle_tpu.core.export import load_program
+
+    # quantized kernels are baked into the serialized program: the MLIR
+    # carries int8 tensors (the bytecode blob itself is flatbuffer-packed,
+    # so inspect the deserialized module text)
+    assert "i8>" in str(load_program(str(path)).mlir_module())
+
+
 def test_pipeline_quant_env_and_validation(monkeypatch):
     from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
 
