@@ -45,6 +45,10 @@ def add_model_source_args(p):
                    help="apps/export.py artifact dir: run generation through "
                         "the serialized deployment graphs instead of the "
                         "one-program pipeline (reference app-onnx.py path)")
+    p.add_argument("--int8_scales", type=str, default=None,
+                   help="JSON calibration table for EDGESTYLE_QUANT="
+                        "int8-static (pipeline.save_int8_scales); skips the "
+                        "first-request calibration compile")
     return p
 
 
@@ -125,6 +129,8 @@ class TryOnSystem:
         self.pose_net = BodyPoseNet()
         self.preproc = TryOnPreprocessor(dtype=jnp.bfloat16)
         self._live_pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"))
+        if getattr(args, "int8_scales", None):
+            self._live_pipe.load_int8_scales(args.int8_scales)
         if getattr(args, "exported_dir", None):
             from edgestyle_tpu.pipelines.artifact import ArtifactPipeline
 

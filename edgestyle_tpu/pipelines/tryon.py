@@ -272,6 +272,29 @@ class EdgeStylePipeline:
         )
         return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
+    def save_int8_scales(self, path: str) -> None:
+        """Persist the int8-static calibration table (JSON) so serving
+        processes can skip the first-request calibration compile."""
+        import json
+
+        if self._int8_scales is None:
+            raise RuntimeError("no calibration table to save — run "
+                               "calibrate_int8 (or one generation) first")
+        with open(path, "w") as f:
+            json.dump(self._int8_scales, f, indent=0, sort_keys=True)
+
+    def load_int8_scales(self, path: str) -> None:
+        import json
+
+        with open(path) as f:
+            table = json.load(f)
+        if not table or not all(
+            isinstance(k, str) and isinstance(v, (int, float)) and v > 0
+            for k, v in table.items()
+        ):
+            raise ValueError(f"{path} is not an int8 scale table")
+        self._int8_scales = {k: float(v) for k, v in table.items()}
+
     def _quant_scales_static(self):
         """The int8-static calibration table as a hashable static value
         (tuple of sorted items) — baked into each trace, so replacing the

@@ -300,6 +300,24 @@ def test_generate_dp_int8_static_matches_single_device():
     )
 
 
+def test_int8_scales_save_load_roundtrip(tmp_path):
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+
+    p = EdgeStylePipeline(PipelineConfig(), attn_impl="xla", quant="int8-static")
+    with pytest.raises(RuntimeError, match="no calibration table"):
+        p.save_int8_scales(str(tmp_path / "s.json"))
+    p._int8_scales = {"unet/a/kernel": 0.5, "lora_0/b/kernel": 1.25}
+    p.save_int8_scales(str(tmp_path / "s.json"))
+
+    q = EdgeStylePipeline(PipelineConfig(), attn_impl="xla", quant="int8-static")
+    q.load_int8_scales(str(tmp_path / "s.json"))
+    assert q._int8_scales == p._int8_scales
+
+    (tmp_path / "bad.json").write_text('{"k": -1.0}')
+    with pytest.raises(ValueError, match="scale table"):
+        q.load_int8_scales(str(tmp_path / "bad.json"))
+
+
 def test_export_cli_int8_static(tmp_path):
     """apps/export.py --quant int8-static: the deployment denoise graph
     carries the quantized path (int8 kernels inside the serialized
