@@ -35,54 +35,57 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--px", type=int, default=512)
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--batch", type=int, nargs="+", default=[1])
     ap.add_argument("--mode", choices=["int8", "int8-static"], default="int8")
     args = ap.parse_args()
     print(jax.default_backend(), jax.devices(), flush=True)
 
-    g = np.random.default_rng(0)
-    b = args.batch
-    ids = jnp.asarray(g.integers(1, 49000, (b, 77)), jnp.int32)
-    neg = jnp.asarray(g.integers(1, 49000, (b, 77)), jnp.int32)
-    imgs = structured_images(g, b, args.px)
+    params = None
+    for b in args.batch:  # one process → one tunnel init, N measurements
+        g = np.random.default_rng(0)
+        ids = jnp.asarray(g.integers(1, 49000, (b, 77)), jnp.int32)
+        neg = jnp.asarray(g.integers(1, 49000, (b, 77)), jnp.int32)
+        imgs = structured_images(g, b, args.px)
 
-    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
-    qpipe = EdgeStylePipeline(
-        PipelineConfig(dtype="bfloat16"), attn_impl="auto", quant=args.mode
-    )
-    params = pipe.init_params(jax.random.key(0))
-    params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
+        pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
+        qpipe = EdgeStylePipeline(
+            PipelineConfig(dtype="bfloat16"), attn_impl="auto", quant=args.mode
+        )
+        if params is None:
+            params = pipe.init_params(jax.random.key(0))
+            params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+                params,
+            )
 
-    def run(p):
-        return p(params, ids, neg, imgs, rng=jax.random.key(7),
-                 num_inference_steps=args.steps, guidance_scale=3.5)
+        def run(p):
+            return p(params, ids, neg, imgs, rng=jax.random.key(7),
+                     num_inference_steps=args.steps, guidance_scale=3.5)
 
-    o8 = np.asarray(run(qpipe), np.float32)
-    print(f"int8 out std={o8.std():.4f}", flush=True)
-    o16 = np.asarray(run(pipe), np.float32)
-    print(f"bf16 out std={o16.std():.4f}", flush=True)
+        o8 = np.asarray(run(qpipe), np.float32)
+        print(f"B={b} {args.mode} out std={o8.std():.4f}", flush=True)
+        o16 = np.asarray(run(pipe), np.float32)
+        print(f"B={b} bf16 out std={o16.std():.4f}", flush=True)
 
-    results = {
-        "tryon_ssim_bf16_vs_quant": round(
-            float(jnp.mean(ssim(jnp.asarray(o16), jnp.asarray(o8)))), 5
-        ),
-        "tryon_psnr_db": round(
-            float(jnp.mean(psnr(jnp.asarray(o16), jnp.asarray(o8)))), 2
-        ),
-        "tryon_mae": round(float(np.abs(o16 - o8).mean()), 5),
-        "steps": args.steps,
-        "px": args.px,
-        "batch": b,
-        "mode": args.mode,
-    }
-    t16 = timeit(run, pipe, iters=3)
-    t8 = timeit(run, qpipe, iters=3)
-    results["bf16_img_s"] = round(b / t16, 4)
-    results["int8_img_s"] = round(b / t8, 4)
-    results["int8_speedup"] = round(t16 / t8, 3)
-    print(json.dumps(results), flush=True)
+        results = {
+            "tryon_ssim_bf16_vs_quant": round(
+                float(jnp.mean(ssim(jnp.asarray(o16), jnp.asarray(o8)))), 5
+            ),
+            "tryon_psnr_db": round(
+                float(jnp.mean(psnr(jnp.asarray(o16), jnp.asarray(o8)))), 2
+            ),
+            "tryon_mae": round(float(np.abs(o16 - o8).mean()), 5),
+            "steps": args.steps,
+            "px": args.px,
+            "batch": b,
+            "mode": args.mode,
+        }
+        t16 = timeit(run, pipe, iters=3)
+        t8 = timeit(run, qpipe, iters=3)
+        results["bf16_img_s"] = round(b / t16, 4)
+        results["int8_img_s"] = round(b / t8, 4)
+        results["int8_speedup"] = round(t16 / t8, 3)
+        print(json.dumps(results), flush=True)
 
 
 if __name__ == "__main__":
