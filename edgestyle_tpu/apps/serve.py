@@ -49,6 +49,11 @@ def parse_args(argv=None):
                         "the published recipes)")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--guidance", type=float, default=3.5)
+    p.add_argument("--controlnet_cache_interval", type=int, default=1,
+                   help="refresh the six-branch ControlNet residuals every "
+                        "k-th denoise step and reuse them in between "
+                        "(opt-in latency/quality trade, BASELINE.md; 1 = "
+                        "exact reference semantics)")
     p.add_argument("--max_batch", type=int, default=1,
                    help=">1 enables dynamic request batching: concurrent "
                         "requests coalesce into one batched generation")

@@ -83,6 +83,11 @@ def parse_args(argv=None):
                         "(pose keypoints still detected by the pose program)")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--guidance", type=float, default=3.5)
+    p.add_argument("--controlnet_cache_interval", type=int, default=1,
+                   help="refresh the six-branch ControlNet residuals every "
+                        "k-th denoise step and reuse them in between "
+                        "(opt-in latency/quality trade, BASELINE.md; 1 = "
+                        "exact reference semantics)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="result.png")
     return p.parse_args(argv)
@@ -131,6 +136,15 @@ class TryOnSystem:
         self._live_pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"))
         if getattr(args, "int8_scales", None):
             self._live_pipe.load_int8_scales(args.int8_scales)
+        self.cache_interval = int(
+            getattr(args, "controlnet_cache_interval", 1) or 1
+        )
+        if self.cache_interval > 1 and getattr(args, "exported_dir", None):
+            raise ValueError(
+                "--controlnet_cache_interval > 1 needs the live pipeline: "
+                "the artifact path (--exported_dir) runs the denoise step "
+                "as a fixed serialized graph"
+            )
         if getattr(args, "exported_dir", None):
             from edgestyle_tpu.pipelines.artifact import ArtifactPipeline
 
@@ -243,10 +257,14 @@ class TryOnSystem:
             to_norm(cond["clothes1"]), to01(cond["clothes1_pose"]),
             to_norm(cond["clothes2"]), to01(cond["clothes2_pose"]),
         ]
+        kw = (
+            {"controlnet_cache_interval": self.cache_interval}
+            if self.cache_interval > 1 else {}
+        )
         out = self.pipe(
             self.gen_params, prompt_ids, neg_ids, imgs,
             rng=self.jax.random.key(seed), num_inference_steps=steps,
-            guidance_scale=guidance,
+            guidance_scale=guidance, **kw,
         )
         return np.asarray(out[0])
 
@@ -293,9 +311,13 @@ class TryOnSystem:
             for s in seeds
         ])
         g = guidance if np.isscalar(guidance) else jnp.asarray(guidance, jnp.float32)
+        kw = (
+            {"controlnet_cache_interval": self.cache_interval}
+            if self.cache_interval > 1 else {}
+        )
         out = self.pipe(
             self.gen_params, prompt_ids, neg_ids, imgs, latents=lat,
-            num_inference_steps=steps, guidance_scale=g,
+            num_inference_steps=steps, guidance_scale=g, **kw,
         )
         return np.asarray(out)
 

@@ -212,6 +212,7 @@ class EdgeStylePipeline:
         return_latents: bool,
         guess_mode: bool = False,
         quant_scales=None,
+        controlnet_cache_interval: int = 1,
     ):
         cfg = self.cfg
         b = prompt_ids.shape[0]
@@ -258,13 +259,52 @@ class EdgeStylePipeline:
 
             params = quantize_denoise_params(params)
 
-        def model_fn(sample, t, i):
-            return self._model_step(
-                params, context, embs, embs2, scales, g, b, guess_mode,
-                sample, t, i, quant_scales=quant_scales,
+        if controlnet_cache_interval <= 1:
+            def model_fn(sample, t, i):
+                return self._model_step(
+                    params, context, embs, embs2, scales, g, b, guess_mode,
+                    sample, t, i, quant_scales=quant_scales,
+                )
+
+            final = self.scheduler.sample_loop(
+                plan, model_fn, latents, pass_step=True
+            )
+        else:
+            # ControlNet-residual caching (opt-in serving approximation, not
+            # a reference feature): the six-branch MCN dominates per-step
+            # compute, and its residuals vary slowly across adjacent UniPC
+            # steps, so refresh them every k-th step and carry them through
+            # the scan in between (the add-on caching idea of
+            # SwiftDiffusion/DeepCache). Step 0 always refreshes; the carry
+            # seed is a zeros pytree shaped by eval_shape of the real
+            # residual step (never executed — i=0 computes fresh).
+            from edgestyle_tpu.ops.quant import quantize_intercept
+
+            def shape_fn(lat):
+                with quantize_intercept(
+                    self.quant.startswith("int8"),
+                    static_scales=dict(quant_scales) if quant_scales else None,
+                ):
+                    return self._residual_step(
+                        params, context, embs, embs2, scales, b, guess_mode,
+                        lat, plan.timesteps[0], 0,
+                    )
+
+            cache0 = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(shape_fn, latents),
             )
 
-        final = self.scheduler.sample_loop(plan, model_fn, latents, pass_step=True)
+            def model_fn(sample, t, i, cache):
+                return self._model_step(
+                    params, context, embs, embs2, scales, g, b, guess_mode,
+                    sample, t, i, quant_scales=quant_scales,
+                    cache=cache, cache_interval=controlnet_cache_interval,
+                )
+
+            final = self.scheduler.sample_loop(
+                plan, model_fn, latents, pass_step=True, model_state=cache0
+            )
         if return_latents:
             return final
         img = self.vae.apply(
@@ -308,38 +348,67 @@ class EdgeStylePipeline:
             )
         return tuple(sorted(self._int8_scales.items()))
 
+    def _residual_step(
+        self, params, context, embs, embs2, scales, b, guess_mode, sample, t, i
+    ):
+        """The six-branch ControlNet evaluation for one denoise step →
+        (12 down residuals, mid residual), CFG-doubled to 2B rows exactly
+        as the UNet consumes them. Caller must already be inside
+        quantize_intercept when ``params`` holds QuantKernel leaves."""
+        if guess_mode:
+            # controlnet sees only the conditional half; the uncond
+            # half gets zero residuals (reference
+            # edgestyle_pipeline.py:453-497)
+            tb = jnp.broadcast_to(t, (b,))
+            down, mid = self.mcn(
+                params["controlnet"], sample, tb, context[b:], embs,
+                scales[i], guess_mode=True,
+            )
+            down = tuple(
+                jnp.concatenate([jnp.zeros_like(d), d], axis=0) for d in down
+            )
+            mid = jnp.concatenate([jnp.zeros_like(mid), mid], axis=0)
+            return down, mid
+        x2 = jnp.concatenate([sample, sample], axis=0)
+        t2 = jnp.broadcast_to(t, (2 * b,))
+        return self.mcn(params["controlnet"], x2, t2, context, embs2, scales[i])
+
     def _model_step(
         self, params, context, embs, embs2, scales, g, b, guess_mode,
-        sample, t, i, quant_scales=None,
+        sample, t, i, quant_scales=None, cache=None, cache_interval=1,
     ):
         """One CFG denoise-model evaluation (ControlNets + UNet + guidance
         combine). The optional W8A8 int8 path (ops/quant.py) wraps exactly
-        this scope — VAE / CLIP / cond embedding stay bf16."""
+        this scope — VAE / CLIP / cond embedding stay bf16.
+
+        With ``cache`` (the pytree of the previous step's residuals) the
+        six-branch ControlNet only runs when ``i % cache_interval == 0``;
+        other steps reuse the cached residuals (stale-sample
+        approximation — see ``controlnet_cache_interval`` in __call__).
+        Returns ``(output, new_cache)`` in that mode."""
         from edgestyle_tpu.ops.quant import quantize_intercept
 
         with quantize_intercept(
             self.quant.startswith("int8"),
             static_scales=dict(quant_scales) if quant_scales else None,
         ):
-            if guess_mode:
-                # controlnet sees only the conditional half; the uncond
-                # half gets zero residuals (reference
-                # edgestyle_pipeline.py:453-497)
-                tb = jnp.broadcast_to(t, (b,))
-                down, mid = self.mcn(
-                    params["controlnet"], sample, tb, context[b:], embs,
-                    scales[i], guess_mode=True,
+            if cache is None:
+                down, mid = self._residual_step(
+                    params, context, embs, embs2, scales, b, guess_mode,
+                    sample, t, i,
                 )
-                down = tuple(
-                    jnp.concatenate([jnp.zeros_like(d), d], axis=0) for d in down
+            else:
+                down, mid = jax.lax.cond(
+                    i % cache_interval == 0,
+                    lambda c: self._residual_step(
+                        params, context, embs, embs2, scales, b, guess_mode,
+                        sample, t, i,
+                    ),
+                    lambda c: c,
+                    cache,
                 )
-                mid = jnp.concatenate([jnp.zeros_like(mid), mid], axis=0)
             x2 = jnp.concatenate([sample, sample], axis=0)
             t2 = jnp.broadcast_to(t, (2 * b,))
-            if not guess_mode:
-                down, mid = self.mcn(
-                    params["controlnet"], x2, t2, context, embs2, scales[i]
-                )
             noise = self.unet.apply(
                 {"params": params["unet"]},
                 x2, t2, context,
@@ -347,21 +416,27 @@ class EdgeStylePipeline:
                 mid_block_additional_residual=mid,
             )
             uncond, cond = jnp.split(noise, 2, axis=0)
-            return uncond + g * (cond - uncond)
+            out = uncond + g * (cond - uncond)
+            return out if cache is None else (out, (down, mid))
 
     @functools.partial(
         jax.jit, static_argnums=(0, 6),
-        static_argnames=("return_latents", "guess_mode", "quant_scales"),
+        static_argnames=(
+            "return_latents", "guess_mode", "quant_scales",
+            "controlnet_cache_interval",
+        ),
     )
     def _generate_jit(
         self, params, prompt_ids, negative_prompt_ids, cond_images, rng,
         num_inference_steps, guidance_scale, conditioning_scale, latents,
         return_latents=False, guess_mode=False, quant_scales=None,
+        controlnet_cache_interval=1,
     ):
         return self._generate(
             params, prompt_ids, negative_prompt_ids, cond_images, rng,
             num_inference_steps, guidance_scale, conditioning_scale, latents,
             return_latents, guess_mode, quant_scales=quant_scales,
+            controlnet_cache_interval=controlnet_cache_interval,
         )
 
     def __call__(
@@ -379,6 +454,7 @@ class EdgeStylePipeline:
         guess_mode: bool = False,
         control_guidance_start=0.0,
         control_guidance_end=1.0,
+        controlnet_cache_interval: int = 1,
     ):
         """Generate try-on images.
 
@@ -388,7 +464,24 @@ class EdgeStylePipeline:
         complete the reference pipeline's knob set
         (edgestyle_pipeline.py:113,407-427,453-497): windows become a
         per-step keep mask folded into conditioning_scale host-side, so
-        changing them never recompiles."""
+        changing them never recompiles.
+
+        ``controlnet_cache_interval`` (opt-in, NOT a reference feature):
+        with k>1 the six-branch ControlNet runs only every k-th denoise
+        step and its fused residuals are reused in between — the add-on
+        caching approximation of SwiftDiffusion/DeepCache. Cached
+        residuals are stale in both the noisy sample and any per-step
+        conditioning window/scale until the next refresh, so combine with
+        control_guidance windows knowingly. k=1 (default) is exact
+        reference semantics; quality/throughput measurements live in
+        BASELINE.md."""
+        if not isinstance(controlnet_cache_interval, int) or (
+            controlnet_cache_interval < 1
+        ):
+            raise ValueError(
+                f"controlnet_cache_interval must be an int >= 1, got "
+                f"{controlnet_cache_interval!r}"
+            )
         self._check_inputs(prompt_ids, negative_prompt_ids, cond_images,
                            num_inference_steps, latents)
         if rng is None:
@@ -420,6 +513,7 @@ class EdgeStylePipeline:
             num_inference_steps, guidance_scale, conditioning_scale,
             latents, return_latents=return_latents, guess_mode=guess_mode,
             quant_scales=quant_scales,
+            controlnet_cache_interval=controlnet_cache_interval,
         )
 
     def calibrate_int8(
@@ -545,6 +639,56 @@ class EdgeStylePipeline:
             )
         bs = batch_sharding(mesh)
         params = replicate_params(mesh, params)
+        prompt_ids = jax.device_put(prompt_ids, bs)
+        negative_prompt_ids = jax.device_put(negative_prompt_ids, bs)
+        cond_images = [jax.device_put(im, bs) for im in cond_images]
+        if latents is not None:
+            latents = jax.device_put(latents, bs)
+        return self(
+            params, prompt_ids, negative_prompt_ids, cond_images,
+            latents=latents, **kwargs,
+        )
+
+    def generate_tp(
+        self,
+        mesh,
+        params,
+        prompt_ids: jax.Array,
+        negative_prompt_ids: jax.Array,
+        cond_images: Sequence[jax.Array],
+        latents: Optional[jax.Array] = None,
+        **kwargs,
+    ):
+        """Tensor-parallel (optionally DP×TP) generation over a device mesh.
+
+        The complement of :meth:`generate_dp`: where DP shards batch rows
+        for throughput, TP shards the attention/FF kernels of every
+        submodel (UNet, ControlNet branches, VAE, CLIP) over the ``model``
+        axis (megatron-style, core/partitioning.py) so ONE image's denoise
+        step spreads across chips — the multi-chip LATENCY story. Batch
+        rows still shard over ``data`` when that axis is >1, giving DP×TP
+        from the same jitted program; GSPMD emits one all-reduce per
+        attention/FF block over ICI plus the usual batch partitioning.
+        Kernels whose dimension doesn't divide the ``model`` axis simply
+        replicate (core/partitioning.py guard), so any config runs.
+
+        Not a reference capability (its torch pipeline is single-device,
+        edgestyle_pipeline.py:429-543). Equality with the single-device
+        program is up to reduction order — tested in
+        tests/test_pipeline.py::test_generate_tp_matches_single_device.
+        """
+        from edgestyle_tpu.core.mesh import DATA_AXIS, batch_sharding
+        from edgestyle_tpu.core.partitioning import shard_params_tp
+
+        b = prompt_ids.shape[0]
+        nd = mesh.shape[DATA_AXIS]
+        if b % nd:
+            raise ValueError(
+                f"global batch {b} is not divisible by the data axis size "
+                f"{nd} (each device row takes B/{nd} samples)"
+            )
+        bs = batch_sharding(mesh)
+        params = {k: shard_params_tp(mesh, v) for k, v in params.items()}
         prompt_ids = jax.device_put(prompt_ids, bs)
         negative_prompt_ids = jax.device_put(negative_prompt_ids, bs)
         cond_images = [jax.device_put(im, bs) for im in cond_images]

@@ -301,7 +301,7 @@ class UniPCScheduler:
 
     # ---------------------------------------------------------- convenience
     def sample_loop(self, plan: UniPCPlan, model_fn, init_noise, init_scale=True,
-                    pass_step=False):
+                    pass_step=False, model_state=None):
         """Run the full denoise loop under lax.scan.
 
         model_fn(sample, t) → raw model output (ε or v). init_noise is a
@@ -309,18 +309,26 @@ class UniPCScheduler:
         scaling is applied (matching diffusers). With ``pass_step`` the
         model_fn also receives the step index i (for per-step conditioning
         such as the reference's controlnet_keep windows,
-        edgestyle_pipeline.py:407-427).
+        edgestyle_pipeline.py:407-427). With ``model_state`` (any pytree),
+        model_fn receives it as the final positional argument and must
+        return ``(model_output, new_model_state)``; the state threads
+        through the scan carry (used for the pipeline's cross-step
+        ControlNet-residual cache).
         """
         state = self.init_state(init_noise.shape, init_noise.dtype)
+        has_ms = model_state is not None
 
         def body(carry, i):
-            sample, st = carry
+            sample, st, ms = carry if has_ms else (*carry, None)
             t = plan.timesteps[i]
-            out = model_fn(sample, t, i) if pass_step else model_fn(sample, t)
+            args = (sample, t, i) if pass_step else (sample, t)
+            if has_ms:
+                out, ms = model_fn(*args, ms)
+            else:
+                out = model_fn(*args)
             nxt, st = self.step(plan, i, out, sample, st)
-            return (nxt, st), None
+            return ((nxt, st, ms) if has_ms else (nxt, st)), None
 
-        (final, _), _ = jax.lax.scan(
-            body, (init_noise, state), jnp.arange(plan.num_steps)
-        )
-        return final
+        init = (init_noise, state, model_state) if has_ms else (init_noise, state)
+        carry, _ = jax.lax.scan(body, init, jnp.arange(plan.num_steps))
+        return carry[0]

@@ -1,0 +1,124 @@
+"""ControlNet-residual-cache quality + throughput on the current backend.
+
+Companion to quality_int8.py: same structured conditioning, shared weights
+and noise, but the pair here isolates the opt-in ControlNet-residual cache
+(controlnet_cache_interval=k — the six-branch MCN refreshes every k-th
+UniPC step and its fused residuals are reused in between). Reports
+SSIM/PSNR/MAE vs the exact k=1 program plus wall-clock img/s for both,
+measured back-to-back in one session (the only apples-to-apples timing the
+axon tunnel allows). Results are recorded in BASELINE.md.
+
+NOTE on quality numbers: weights here are random-init (no network in this
+image), so the SSIM measures how much the cached-residual trajectory
+diverges for THIS architecture's dynamics, not trained-model quality.
+The zero-init ControlNet heads are bumped (+0.01, as the pipeline tests
+do) — otherwise every residual is exactly zero and caching is a no-op,
+which makes the quality comparison vacuous (the first run of this script
+measured exactly that: identical SSIM for k=2 and k=3 at the bf16 noise
+floor).
+
+Usage: python scripts/quality_cached.py [--steps 20] [--px 512] \
+           [--intervals 2 3] [--batch 1]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+from edgestyle_tpu.utils.metrics import psnr, ssim
+from edgestyle_tpu.utils.profiling import timeit
+from quality_parity import structured_images
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--px", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--intervals", type=int, nargs="+", default=[2, 3])
+    ap.add_argument("--quant", choices=["none", "int8", "int8-static"],
+                    default="none",
+                    help="stack the cache on the W8A8 quant path: the "
+                         "cached pipe runs quantized, the exact baseline "
+                         "stays bf16 (measures the COMBINED serving mode)")
+    args = ap.parse_args()
+    print(jax.default_backend(), jax.devices(), flush=True)
+
+    b = args.batch
+    g = np.random.default_rng(0)
+    ids = jnp.asarray(g.integers(1, 49000, (b, 77)), jnp.int32)
+    neg = jnp.asarray(g.integers(1, 49000, (b, 77)), jnp.int32)
+    imgs = structured_images(g, b, args.px)
+
+    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
+    qpipe = (
+        pipe if args.quant == "none"
+        else EdgeStylePipeline(
+            PipelineConfig(dtype="bfloat16"), attn_impl="auto", quant=args.quant
+        )
+    )
+    params = pipe.init_params(jax.random.key(0))
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params,
+    )
+    # give the zero-init controlnet heads weight so residuals are nonzero
+    # and the cache actually changes the trajectory
+    bump = lambda tree: jax.tree.map(lambda p: p + jnp.asarray(0.01, p.dtype), tree)
+    params = dict(params)
+    params["controlnet"] = {
+        k: (
+            {kk: (bump(vv) if kk.startswith("controlnet_") else vv)
+             for kk, vv in v.items()}
+            if k != "fusion" else v
+        )
+        for k, v in params["controlnet"].items()
+    }
+
+    def run(k, p=None):
+        return (p if p is not None else qpipe)(
+            params, ids, neg, imgs, rng=jax.random.key(7),
+            num_inference_steps=args.steps, guidance_scale=3.5,
+            controlnet_cache_interval=k,
+        )
+
+    # the exact baseline is always the plain bf16 k=1 program
+    exact = np.asarray(run(1, pipe), np.float32)
+    print(f"exact out std={exact.std():.4f}", flush=True)
+    t1 = timeit(run, 1, pipe, iters=3)
+    for k in args.intervals:
+        ok = np.asarray(run(k), np.float32)
+        tk = timeit(run, k, iters=3)
+        results = {
+            "tryon_ssim_exact_vs_cached": round(
+                float(jnp.mean(ssim(jnp.asarray(exact), jnp.asarray(ok)))), 5
+            ),
+            "tryon_psnr_db": round(
+                float(jnp.mean(psnr(jnp.asarray(exact), jnp.asarray(ok)))), 2
+            ),
+            "tryon_mae": round(float(np.abs(exact - ok).mean()), 5),
+            "steps": args.steps,
+            "px": args.px,
+            "batch": b,
+            "cache_interval": k,
+            "quant": args.quant,
+            "exact_img_s": round(b / t1, 4),
+            "cached_img_s": round(b / tk, 4),
+            "cached_speedup": round(t1 / tk, 3),
+        }
+        print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

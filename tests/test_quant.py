@@ -350,3 +350,26 @@ def test_pipeline_quant_env_and_validation(monkeypatch):
     assert EdgeStylePipeline.__init__.__defaults__  # constructor still lazy
     p = EdgeStylePipeline(PipelineConfig(), attn_impl="xla")
     assert p.quant == "int8"
+
+
+def test_pipeline_int8_static_with_controlnet_cache():
+    """The ControlNet-residual cache composes with int8-static: the cached
+    branch carries QuantKernel-produced residuals and the refresh branch
+    re-runs the intercepted MCN, same static scale table."""
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline
+
+    from tests.test_pipeline import _bump_heads
+
+    tiny, pipe, params, ids, neg, imgs = _tiny_pipe_setup()
+    # zero-init controlnet heads → zero residuals → caching would be a
+    # no-op; give the heads weight so the cache path is observable
+    params = _bump_heads(params)
+    spipe = EdgeStylePipeline(tiny, attn_impl="xla", quant="int8-static")
+    exact = spipe(params, ids, neg, imgs, rng=jax.random.key(2),
+                  num_inference_steps=3)
+    cached = spipe(params, ids, neg, imgs, rng=jax.random.key(2),
+                   num_inference_steps=3, controlnet_cache_interval=2)
+    assert bool(jnp.isfinite(cached).all())
+    assert not np.array_equal(np.asarray(cached), np.asarray(exact))
+    diff = float(jnp.abs(cached - exact).mean())
+    assert diff < 0.1, diff  # a step-2 refresh stays close on [0,1] images
