@@ -54,6 +54,11 @@ def parse_args(argv=None):
                         "k-th denoise step and reuse them in between "
                         "(opt-in latency/quality trade, BASELINE.md; 1 = "
                         "exact reference semantics)")
+    p.add_argument("--unet_cache_interval", type=int, default=1,
+                   help="recompute the UNet's deep levels every k-th denoise "
+                        "step, splicing the cached deep feature back through "
+                        "the high-res level in between (DeepCache-style "
+                        "opt-in trade, BASELINE.md; 1 = exact)")
     p.add_argument("--max_batch", type=int, default=1,
                    help=">1 enables dynamic request batching: concurrent "
                         "requests coalesce into one batched generation")

@@ -88,6 +88,11 @@ def parse_args(argv=None):
                         "k-th denoise step and reuse them in between "
                         "(opt-in latency/quality trade, BASELINE.md; 1 = "
                         "exact reference semantics)")
+    p.add_argument("--unet_cache_interval", type=int, default=1,
+                   help="recompute the UNet's deep levels every k-th denoise "
+                        "step, splicing the cached deep feature back through "
+                        "the high-res level in between (DeepCache-style "
+                        "opt-in trade, BASELINE.md; 1 = exact)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="result.png")
     return p.parse_args(argv)
@@ -139,11 +144,16 @@ class TryOnSystem:
         self.cache_interval = int(
             getattr(args, "controlnet_cache_interval", 1) or 1
         )
-        if self.cache_interval > 1 and getattr(args, "exported_dir", None):
+        self.unet_cache_interval = int(
+            getattr(args, "unet_cache_interval", 1) or 1
+        )
+        if (
+            self.cache_interval > 1 or self.unet_cache_interval > 1
+        ) and getattr(args, "exported_dir", None):
             raise ValueError(
-                "--controlnet_cache_interval > 1 needs the live pipeline: "
-                "the artifact path (--exported_dir) runs the denoise step "
-                "as a fixed serialized graph"
+                "--controlnet_cache_interval / --unet_cache_interval > 1 "
+                "need the live pipeline: the artifact path (--exported_dir) "
+                "runs the denoise step as a fixed serialized graph"
             )
         if getattr(args, "exported_dir", None):
             from edgestyle_tpu.pipelines.artifact import ArtifactPipeline
@@ -257,10 +267,11 @@ class TryOnSystem:
             to_norm(cond["clothes1"]), to01(cond["clothes1_pose"]),
             to_norm(cond["clothes2"]), to01(cond["clothes2_pose"]),
         ]
-        kw = (
-            {"controlnet_cache_interval": self.cache_interval}
-            if self.cache_interval > 1 else {}
-        )
+        kw = {}
+        if self.cache_interval > 1:
+            kw["controlnet_cache_interval"] = self.cache_interval
+        if self.unet_cache_interval > 1:
+            kw["unet_cache_interval"] = self.unet_cache_interval
         out = self.pipe(
             self.gen_params, prompt_ids, neg_ids, imgs,
             rng=self.jax.random.key(seed), num_inference_steps=steps,
@@ -311,10 +322,11 @@ class TryOnSystem:
             for s in seeds
         ])
         g = guidance if np.isscalar(guidance) else jnp.asarray(guidance, jnp.float32)
-        kw = (
-            {"controlnet_cache_interval": self.cache_interval}
-            if self.cache_interval > 1 else {}
-        )
+        kw = {}
+        if self.cache_interval > 1:
+            kw["controlnet_cache_interval"] = self.cache_interval
+        if self.unet_cache_interval > 1:
+            kw["unet_cache_interval"] = self.unet_cache_interval
         out = self.pipe(
             self.gen_params, prompt_ids, neg_ids, imgs, latents=lat,
             num_inference_steps=steps, guidance_scale=g, **kw,

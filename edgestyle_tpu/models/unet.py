@@ -80,7 +80,7 @@ class DownBlock(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, run_downsample: bool = True):
         skips = []
         for j in range(self.num_layers):
             x = ResnetBlock2D(self.out_channels, dtype=self.dtype, name=f"resnets_{j}")(x, temb)
@@ -90,7 +90,9 @@ class DownBlock(nn.Module):
                     name=f"attentions_{j}",
                 )(x, context)
             skips.append(x)
-        if self.add_downsample:
+        # run_downsample=False serves SD15UNet.shallow_forward, whose cached
+        # deep levels never consume the downsampled skip
+        if self.add_downsample and run_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
             skips.append(x)
         return x, skips
@@ -276,7 +278,12 @@ class SD15UNet(nn.Module):
         encoder_hidden_states: jax.Array,
         down_block_additional_residuals: Optional[Sequence[jax.Array]] = None,
         mid_block_additional_residual: Optional[jax.Array] = None,
+        return_deep: bool = False,
     ) -> jax.Array:
+        """Full forward. With ``return_deep`` also returns the input to the
+        last up block (the highest-resolution deep feature) so callers can
+        splice it back in via :meth:`shallow_forward` on later denoise steps
+        (DeepCache-style serving approximation — see shallow_forward)."""
         if self.controlnet_mode:
             raise ValueError("use controlnet_forward / apply with method=")
         x, skips, temb = self._trunk(sample, timesteps, encoder_hidden_states)
@@ -285,10 +292,58 @@ class SD15UNet(nn.Module):
         if mid_block_additional_residual is not None:
             x = x + mid_block_additional_residual
         ctx = encoder_hidden_states.astype(self.dtype)
-        for blk in self.up_blocks:
+        deep = None
+        for bi, blk in enumerate(self.up_blocks):
+            if bi == len(self.up_blocks) - 1:
+                deep = x
             n = blk.num_layers
             blk_skips, skips = skips[-n:], skips[:-n]
             x = blk(x, blk_skips, temb, ctx)
+        x = self.conv_norm_out(x)
+        x = self.conv_out(x)
+        out = x.astype(jnp.float32)
+        return (out, deep) if return_deep else out
+
+    def shallow_forward(
+        self,
+        sample: jax.Array,
+        timesteps: jax.Array,
+        encoder_hidden_states: jax.Array,
+        deep_feature: jax.Array,
+        down_block_additional_residuals: Optional[Sequence[jax.Array]] = None,
+    ) -> jax.Array:
+        """DeepCache-style shallow re-evaluation (opt-in serving
+        approximation; NOT a reference feature). Recomputes only the
+        highest-resolution level — conv_in, down_blocks[0] (minus its
+        downsampler) and up_blocks[-1] — splicing in ``deep_feature``, the
+        input to the last up block captured by a full forward
+        (``return_deep=True``) at an earlier denoise step. The deep levels
+        (down_blocks[1:], mid_block, up_blocks[:-1]) and their residual
+        injections stay frozen at the capture step; only the level where
+        step-to-step change concentrates tracks the current sample
+        (DeepCache, arXiv:2312.00858; A-SDM's feature inheritance,
+        PAPERS.md). Consumes only the first 1+layers_per_block entries of
+        ``down_block_additional_residuals`` — the deeper residuals were
+        baked into ``deep_feature`` at capture time.
+
+        Exactness property (tested): with ``deep_feature`` captured at the
+        SAME (sample, t), this returns bit-identical output to __call__."""
+        if self.controlnet_mode:
+            raise ValueError("shallow_forward is a UNet path, not a ControlNet one")
+        cfg = self.cfg
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+        temb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+        temb = self.time_embedding(temb.astype(self.dtype))
+        ctx = encoder_hidden_states.astype(self.dtype)
+        x = self.conv_in(sample.astype(self.dtype))
+        skips = [x]
+        _, s = self.down_blocks[0](x, temb, ctx, run_downsample=False)
+        skips += s
+        if down_block_additional_residuals is not None:
+            skips = [sk + r for sk, r in zip(skips, down_block_additional_residuals)]
+        blk = self.up_blocks[-1]
+        x = blk(deep_feature.astype(self.dtype), skips, temb, ctx)
         x = self.conv_norm_out(x)
         x = self.conv_out(x)
         return x.astype(jnp.float32)

@@ -213,6 +213,7 @@ class EdgeStylePipeline:
         guess_mode: bool = False,
         quant_scales=None,
         controlnet_cache_interval: int = 1,
+        unet_cache_interval: int = 1,
     ):
         cfg = self.cfg
         b = prompt_ids.shape[0]
@@ -230,7 +231,15 @@ class EdgeStylePipeline:
 
         plan = self.scheduler.plan(num_inference_steps)
         if latents is None:
-            h = w = cfg.vae.sample_size // self.vae_downscale
+            # latent resolution follows the conditioning images (reference
+            # pipeline derives height/width from the inputs,
+            # edgestyle_pipeline.py prepare_latents); cfg.vae.sample_size is
+            # only the fallback default
+            if cond_images:
+                h = cond_images[0].shape[1] // self.vae_downscale
+                w = cond_images[0].shape[2] // self.vae_downscale
+            else:
+                h = w = cfg.vae.sample_size // self.vae_downscale
             latents = jax.random.normal(rng, (b, h, w, cfg.unet.in_channels), jnp.float32)
 
         scales = conditioning_scale
@@ -259,7 +268,9 @@ class EdgeStylePipeline:
 
             params = quantize_denoise_params(params)
 
-        if controlnet_cache_interval <= 1:
+        use_cn_cache = controlnet_cache_interval > 1
+        use_deep_cache = unet_cache_interval > 1
+        if not (use_cn_cache or use_deep_cache):
             def model_fn(sample, t, i):
                 return self._model_step(
                     params, context, embs, embs2, scales, g, b, guess_mode,
@@ -270,14 +281,20 @@ class EdgeStylePipeline:
                 plan, model_fn, latents, pass_step=True
             )
         else:
-            # ControlNet-residual caching (opt-in serving approximation, not
-            # a reference feature): the six-branch MCN dominates per-step
-            # compute, and its residuals vary slowly across adjacent UniPC
-            # steps, so refresh them every k-th step and carry them through
-            # the scan in between (the add-on caching idea of
-            # SwiftDiffusion/DeepCache). Step 0 always refreshes; the carry
-            # seed is a zeros pytree shaped by eval_shape of the real
-            # residual step (never executed — i=0 computes fresh).
+            # Cross-step caching (opt-in serving approximations, not
+            # reference features), carried through the scan:
+            #   'cn'   — ControlNet-residual cache: the six-branch MCN
+            #            dominates per-step compute and its residuals vary
+            #            slowly across adjacent UniPC steps, so refresh
+            #            every k-th step and reuse in between (the add-on
+            #            caching idea of SwiftDiffusion/DeepCache).
+            #   'deep' — UNet deep-feature cache: the input to the last up
+            #            block is captured on refresh steps and spliced back
+            #            via SD15UNet.shallow_forward in between (DeepCache /
+            #            A-SDM feature inheritance — only the
+            #            highest-resolution level tracks the sample).
+            # Step 0 always refreshes; the carry seed is a zeros pytree
+            # shaped by eval_shape of the real computations (never executed).
             from edgestyle_tpu.ops.quant import quantize_intercept
 
             def shape_fn(lat):
@@ -285,10 +302,20 @@ class EdgeStylePipeline:
                     self.quant.startswith("int8"),
                     static_scales=dict(quant_scales) if quant_scales else None,
                 ):
-                    return self._residual_step(
-                        params, context, embs, embs2, scales, b, guess_mode,
-                        lat, plan.timesteps[0], 0,
-                    )
+                    out = {}
+                    if use_cn_cache:
+                        out["cn"] = self._residual_step(
+                            params, context, embs, embs2, scales, b,
+                            guess_mode, lat, plan.timesteps[0], 0,
+                        )
+                    if use_deep_cache:
+                        x2 = jnp.concatenate([lat, lat], axis=0)
+                        t2 = jnp.broadcast_to(plan.timesteps[0], (2 * b,))
+                        out["deep"] = self.unet.apply(
+                            {"params": params["unet"]}, x2, t2, context,
+                            return_deep=True,
+                        )[1]
+                    return out
 
             cache0 = jax.tree.map(
                 lambda s: jnp.zeros(s.shape, s.dtype),
@@ -300,6 +327,7 @@ class EdgeStylePipeline:
                     params, context, embs, embs2, scales, g, b, guess_mode,
                     sample, t, i, quant_scales=quant_scales,
                     cache=cache, cache_interval=controlnet_cache_interval,
+                    unet_cache_interval=unet_cache_interval,
                 )
 
             final = self.scheduler.sample_loop(
@@ -376,23 +404,30 @@ class EdgeStylePipeline:
     def _model_step(
         self, params, context, embs, embs2, scales, g, b, guess_mode,
         sample, t, i, quant_scales=None, cache=None, cache_interval=1,
+        unet_cache_interval=1,
     ):
         """One CFG denoise-model evaluation (ControlNets + UNet + guidance
         combine). The optional W8A8 int8 path (ops/quant.py) wraps exactly
         this scope — VAE / CLIP / cond embedding stay bf16.
 
-        With ``cache`` (the pytree of the previous step's residuals) the
-        six-branch ControlNet only runs when ``i % cache_interval == 0``;
-        other steps reuse the cached residuals (stale-sample
-        approximation — see ``controlnet_cache_interval`` in __call__).
-        Returns ``(output, new_cache)`` in that mode."""
+        ``cache`` is either None (exact path) or a dict carried through the
+        scan with any of:
+          'cn'   — previous-step six-branch residuals; the MCN only runs
+                   when ``i % cache_interval == 0`` (stale-sample
+                   approximation — see ``controlnet_cache_interval``).
+          'deep' — previous refresh's UNet deep feature; the UNet runs
+                   :meth:`SD15UNet.shallow_forward` except when
+                   ``i % unet_cache_interval == 0`` (DeepCache-style —
+                   see ``unet_cache_interval``).
+        Returns ``(output, new_cache)`` when ``cache`` is a dict."""
         from edgestyle_tpu.ops.quant import quantize_intercept
 
         with quantize_intercept(
             self.quant.startswith("int8"),
             static_scales=dict(quant_scales) if quant_scales else None,
         ):
-            if cache is None:
+            new_cache = {}
+            if cache is None or "cn" not in cache:
                 down, mid = self._residual_step(
                     params, context, embs, embs2, scales, b, guess_mode,
                     sample, t, i,
@@ -405,38 +440,65 @@ class EdgeStylePipeline:
                         sample, t, i,
                     ),
                     lambda c: c,
-                    cache,
+                    cache["cn"],
                 )
+                new_cache["cn"] = (down, mid)
             x2 = jnp.concatenate([sample, sample], axis=0)
             t2 = jnp.broadcast_to(t, (2 * b,))
-            noise = self.unet.apply(
-                {"params": params["unet"]},
-                x2, t2, context,
-                down_block_additional_residuals=down,
-                mid_block_additional_residual=mid,
-            )
+            if cache is not None and "deep" in cache:
+                def full_unet(deep):
+                    return self.unet.apply(
+                        {"params": params["unet"]},
+                        x2, t2, context,
+                        down_block_additional_residuals=down,
+                        mid_block_additional_residual=mid,
+                        return_deep=True,
+                    )
+
+                def shallow_unet(deep):
+                    out = self.unet.apply(
+                        {"params": params["unet"]},
+                        x2, t2, context, deep,
+                        down_block_additional_residuals=down,
+                        method="shallow_forward",
+                    )
+                    return out, deep
+
+                noise, new_deep = jax.lax.cond(
+                    i % unet_cache_interval == 0,
+                    full_unet, shallow_unet, cache["deep"],
+                )
+                new_cache["deep"] = new_deep
+            else:
+                noise = self.unet.apply(
+                    {"params": params["unet"]},
+                    x2, t2, context,
+                    down_block_additional_residuals=down,
+                    mid_block_additional_residual=mid,
+                )
             uncond, cond = jnp.split(noise, 2, axis=0)
             out = uncond + g * (cond - uncond)
-            return out if cache is None else (out, (down, mid))
+            return out if cache is None else (out, new_cache)
 
     @functools.partial(
         jax.jit, static_argnums=(0, 6),
         static_argnames=(
             "return_latents", "guess_mode", "quant_scales",
-            "controlnet_cache_interval",
+            "controlnet_cache_interval", "unet_cache_interval",
         ),
     )
     def _generate_jit(
         self, params, prompt_ids, negative_prompt_ids, cond_images, rng,
         num_inference_steps, guidance_scale, conditioning_scale, latents,
         return_latents=False, guess_mode=False, quant_scales=None,
-        controlnet_cache_interval=1,
+        controlnet_cache_interval=1, unet_cache_interval=1,
     ):
         return self._generate(
             params, prompt_ids, negative_prompt_ids, cond_images, rng,
             num_inference_steps, guidance_scale, conditioning_scale, latents,
             return_latents, guess_mode, quant_scales=quant_scales,
             controlnet_cache_interval=controlnet_cache_interval,
+            unet_cache_interval=unet_cache_interval,
         )
 
     def __call__(
@@ -455,6 +517,7 @@ class EdgeStylePipeline:
         control_guidance_start=0.0,
         control_guidance_end=1.0,
         controlnet_cache_interval: int = 1,
+        unet_cache_interval: int = 1,
     ):
         """Generate try-on images.
 
@@ -474,14 +537,25 @@ class EdgeStylePipeline:
         conditioning window/scale until the next refresh, so combine with
         control_guidance windows knowingly. k=1 (default) is exact
         reference semantics; quality/throughput measurements live in
-        BASELINE.md."""
-        if not isinstance(controlnet_cache_interval, int) or (
-            controlnet_cache_interval < 1
+        BASELINE.md.
+
+        ``unet_cache_interval`` (opt-in, NOT a reference feature): with
+        k>1 the UNet's deep levels (down_blocks[1:], mid, up_blocks[:-1])
+        run only every k-th step; in between SD15UNet.shallow_forward
+        recomputes just the highest-resolution level around the cached
+        deep feature (DeepCache, arXiv:2312.00858 / A-SDM feature
+        inheritance). Composes with controlnet_cache_interval — aligned
+        intervals mean the deep ControlNet residuals are consumed exactly
+        at refresh steps; with k_cn > 1 the deep residuals the cached
+        UNet levels would consume are frozen into the deep feature."""
+        for name, val in (
+            ("controlnet_cache_interval", controlnet_cache_interval),
+            ("unet_cache_interval", unet_cache_interval),
         ):
-            raise ValueError(
-                f"controlnet_cache_interval must be an int >= 1, got "
-                f"{controlnet_cache_interval!r}"
-            )
+            if not isinstance(val, int) or val < 1:
+                raise ValueError(
+                    f"{name} must be an int >= 1, got {val!r}"
+                )
         self._check_inputs(prompt_ids, negative_prompt_ids, cond_images,
                            num_inference_steps, latents)
         if rng is None:
@@ -514,6 +588,7 @@ class EdgeStylePipeline:
             latents, return_latents=return_latents, guess_mode=guess_mode,
             quant_scales=quant_scales,
             controlnet_cache_interval=controlnet_cache_interval,
+            unet_cache_interval=unet_cache_interval,
         )
 
     def calibrate_int8(

@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--px", type=int, default=512)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--intervals", type=int, nargs="+", default=[2, 3])
+    ap.add_argument("--unet_intervals", type=int, nargs="+", default=[1],
+                    help="unet_cache_interval values to pair with each "
+                         "--intervals entry (DeepCache-style deep-feature "
+                         "cache; the cross product of both lists is run, "
+                         "k_cn=1 entries isolate the UNet cache alone)")
     ap.add_argument("--quant", choices=["none", "int8", "int8-static"],
                     default="none",
                     help="stack the cache on the W8A8 quant path: the "
@@ -86,38 +91,42 @@ def main():
         for k, v in params["controlnet"].items()
     }
 
-    def run(k, p=None):
+    def run(k, ku=1, p=None):
         return (p if p is not None else qpipe)(
             params, ids, neg, imgs, rng=jax.random.key(7),
             num_inference_steps=args.steps, guidance_scale=3.5,
-            controlnet_cache_interval=k,
+            controlnet_cache_interval=k, unet_cache_interval=ku,
         )
 
     # the exact baseline is always the plain bf16 k=1 program
-    exact = np.asarray(run(1, pipe), np.float32)
+    exact = np.asarray(run(1, p=pipe), np.float32)
     print(f"exact out std={exact.std():.4f}", flush=True)
-    t1 = timeit(run, 1, pipe, iters=3)
+    t1 = timeit(lambda: run(1, p=pipe), iters=3)
     for k in args.intervals:
-        ok = np.asarray(run(k), np.float32)
-        tk = timeit(run, k, iters=3)
-        results = {
-            "tryon_ssim_exact_vs_cached": round(
-                float(jnp.mean(ssim(jnp.asarray(exact), jnp.asarray(ok)))), 5
-            ),
-            "tryon_psnr_db": round(
-                float(jnp.mean(psnr(jnp.asarray(exact), jnp.asarray(ok)))), 2
-            ),
-            "tryon_mae": round(float(np.abs(exact - ok).mean()), 5),
-            "steps": args.steps,
-            "px": args.px,
-            "batch": b,
-            "cache_interval": k,
-            "quant": args.quant,
-            "exact_img_s": round(b / t1, 4),
-            "cached_img_s": round(b / tk, 4),
-            "cached_speedup": round(t1 / tk, 3),
-        }
-        print(json.dumps(results), flush=True)
+        for ku in args.unet_intervals:
+            if k == 1 and ku == 1:
+                continue
+            ok = np.asarray(run(k, ku), np.float32)
+            tk = timeit(run, k, ku, iters=3)
+            results = {
+                "tryon_ssim_exact_vs_cached": round(
+                    float(jnp.mean(ssim(jnp.asarray(exact), jnp.asarray(ok)))), 5
+                ),
+                "tryon_psnr_db": round(
+                    float(jnp.mean(psnr(jnp.asarray(exact), jnp.asarray(ok)))), 2
+                ),
+                "tryon_mae": round(float(np.abs(exact - ok).mean()), 5),
+                "steps": args.steps,
+                "px": args.px,
+                "batch": b,
+                "cache_interval": k,
+                "unet_cache_interval": ku,
+                "quant": args.quant,
+                "exact_img_s": round(b / t1, 4),
+                "cached_img_s": round(b / tk, 4),
+                "cached_speedup": round(t1 / tk, 3),
+            }
+            print(json.dumps(results), flush=True)
 
 
 if __name__ == "__main__":

@@ -3,6 +3,7 @@ backend (real TPU when available). Asserts output sanity and prints the
 measured rate. This is the drive script referenced by the verify skill.
 
 Usage: python scripts/smoke.py [--steps 20] [--batch 1]
+       [--controlnet_cache_interval 1] [--unet_cache_interval 1]
 """
 
 import argparse
@@ -26,6 +27,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--controlnet_cache_interval", type=int, default=1)
+    ap.add_argument("--unet_cache_interval", type=int, default=1)
     args = ap.parse_args()
 
     print(jax.default_backend(), jax.devices(), flush=True)
@@ -41,9 +44,15 @@ def main():
     imgs = [jnp.asarray(g.standard_normal((B, 512, 512, 3)), jnp.float32) * 0.1
             for _ in range(6)]
 
+    kw = {}
+    if args.controlnet_cache_interval > 1:
+        kw["controlnet_cache_interval"] = args.controlnet_cache_interval
+    if args.unet_cache_interval > 1:
+        kw["unet_cache_interval"] = args.unet_cache_interval
+
     def f():
         return pipe(params, ids, neg, imgs, rng=jax.random.key(1),
-                    num_inference_steps=args.steps, guidance_scale=3.5)
+                    num_inference_steps=args.steps, guidance_scale=3.5, **kw)
 
     o = np.asarray(f(), np.float32)
     print(f"out: {o.shape} min/max/std = {o.min():.3f} {o.max():.3f} {o.std():.4f}",

@@ -301,10 +301,11 @@ def test_guess_mode(pipe_and_params, rng):
 def test_controlnet_cache_interval_validation(pipe_and_params, rng):
     pipe, params = pipe_and_params
     ids, neg, imgs = _inputs(rng)
-    for bad in (0, -1, 1.5, "2"):
-        with pytest.raises(ValueError, match="controlnet_cache_interval"):
-            pipe(params, ids, neg, imgs, num_inference_steps=1,
-                 controlnet_cache_interval=bad)
+    for name in ("controlnet_cache_interval", "unet_cache_interval"):
+        for bad in (0, -1, 1.5, "2"):
+            with pytest.raises(ValueError, match=name):
+                pipe(params, ids, neg, imgs, num_inference_steps=1,
+                     **{name: bad})
 
 
 def test_controlnet_cache_matches_manual_loop(pipe_and_params, rng):
@@ -352,6 +353,81 @@ def test_controlnet_cache_matches_manual_loop(pipe_and_params, rng):
     exact = pipe(params, ids, neg, imgs, latents=lat,
                  num_inference_steps=steps, return_latents=True)
     assert not np.allclose(np.asarray(got), np.asarray(exact))
+
+
+def test_unet_cache_matches_manual_loop(pipe_and_params, rng):
+    """unet_cache_interval=2 equals a host-side reimplementation of the
+    DeepCache semantics (capture the deep feature at even steps via
+    return_deep, splice it back via shallow_forward otherwise), and
+    genuinely diverges from the exact path."""
+    pipe, params = pipe_and_params
+    params = _bump_heads(params)
+    ids, neg, imgs = _inputs(rng)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    steps, k = 5, 2
+    got = pipe(params, ids, neg, imgs, latents=lat, num_inference_steps=steps,
+               unet_cache_interval=k, return_latents=True)
+
+    context = pipe.encode_prompt(params, ids, neg)
+    embs = pipe.embed_cond_images(params, imgs)
+    embs2 = [jnp.concatenate([e, e], axis=0) for e in embs]
+    plan = pipe.scheduler.plan(steps)
+    scales = pipe._step_scales(steps, None, 0.0, 1.0)
+    g = jnp.float32(3.5)
+    state = pipe.scheduler.init_state(lat.shape, lat.dtype)
+    sample, deep = lat, None
+    for i in range(steps):
+        t = plan.timesteps[i]
+        down, mid = pipe._residual_step(
+            params, context, embs, embs2, scales, 1, False, sample, t, i
+        )
+        x2 = jnp.concatenate([sample, sample], axis=0)
+        t2 = jnp.broadcast_to(t, (2,))
+        if i % k == 0:
+            noise, deep = pipe.unet.apply(
+                {"params": params["unet"]}, x2, t2, context,
+                down_block_additional_residuals=down,
+                mid_block_additional_residual=mid,
+                return_deep=True,
+            )
+        else:
+            noise = pipe.unet.apply(
+                {"params": params["unet"]}, x2, t2, context, deep,
+                down_block_additional_residuals=down,
+                method="shallow_forward",
+            )
+        un, cd = jnp.split(noise, 2, axis=0)
+        sample, state = pipe.scheduler.step(
+            plan, i, un + g * (cd - un), sample, state
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(sample), rtol=1e-4, atol=5e-4
+    )
+
+    exact = pipe(params, ids, neg, imgs, latents=lat,
+                 num_inference_steps=steps, return_latents=True)
+    assert not np.allclose(np.asarray(got), np.asarray(exact))
+
+
+def test_combined_caches_run_and_differ(pipe_and_params, rng):
+    """controlnet_cache_interval and unet_cache_interval compose in one
+    scan (the recommended aligned serving mode) and each contributes its
+    own divergence."""
+    pipe, params = pipe_and_params
+    params = _bump_heads(params)
+    ids, neg, imgs = _inputs(rng)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    run = lambda **kw: np.asarray(pipe(
+        params, ids, neg, imgs, latents=lat, num_inference_steps=5,
+        return_latents=True, **kw,
+    ))
+    both = run(controlnet_cache_interval=2, unet_cache_interval=2)
+    assert np.isfinite(both).all()
+    cn_only = run(controlnet_cache_interval=2)
+    unet_only = run(unet_cache_interval=2)
+    exact = run()
+    for other in (cn_only, unet_only, exact):
+        assert not np.array_equal(both, other)
 
 
 def test_controlnet_cache_guess_mode_runs(pipe_and_params, rng):

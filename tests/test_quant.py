@@ -373,3 +373,12 @@ def test_pipeline_int8_static_with_controlnet_cache():
     assert not np.array_equal(np.asarray(cached), np.asarray(exact))
     diff = float(jnp.abs(cached - exact).mean())
     assert diff < 0.1, diff  # a step-2 refresh stays close on [0,1] images
+
+    # the full serving stack: int8-static + both caches in one scan
+    both = spipe(params, ids, neg, imgs, rng=jax.random.key(2),
+                 num_inference_steps=3, controlnet_cache_interval=2,
+                 unet_cache_interval=2)
+    assert bool(jnp.isfinite(both).all())
+    assert not np.array_equal(np.asarray(both), np.asarray(cached))
+    diff2 = float(jnp.abs(both - exact).mean())
+    assert diff2 < 0.1, diff2

@@ -107,6 +107,79 @@ def test_conditioning_scale(tiny_controlnet, rng):
     np.testing.assert_allclose(np.asarray(d2[0]), 0.5 * np.asarray(d1[0]), rtol=1e-5)
 
 
+def _skip_residuals(rng, cfg, b, hw, scale=0.01):
+    """Random residual tensors matching the UNet skip structure (and the
+    mid shape) — same layout as a ControlNet's outputs."""
+    shapes = []
+    h = hw
+    chs = cfg.block_out_channels
+    shapes.append((b, h, h, chs[0]))
+    for i, ch in enumerate(chs):
+        shapes += [(b, h, h, ch)] * cfg.layers_per_block
+        if i < len(chs) - 1:
+            h //= 2
+            shapes.append((b, h, h, ch))
+    down = tuple(
+        jnp.asarray(rng.standard_normal(s), jnp.float32) * scale for s in shapes
+    )
+    mid = jnp.asarray(rng.standard_normal((b, h, h, chs[-1])), jnp.float32) * scale
+    return down, mid
+
+
+def test_shallow_forward_exactness(tiny_unet, rng):
+    """shallow_forward with a deep feature captured at the SAME (sample, t)
+    reproduces the full forward — the consistency anchor of the
+    unet_cache_interval (DeepCache-style) approximation: on refresh steps
+    the cached program equals the exact one, so ALL divergence comes from
+    feature staleness, never from the splice itself."""
+    unet, params = tiny_unet
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 4), dtype=np.float32))
+    t = jnp.array([10, 500], jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((2, 7, 24), dtype=np.float32))
+    down, mid = _skip_residuals(rng, TINY, 2, 16)
+
+    full = jax.jit(
+        lambda p, x, t, c, d, m: unet.apply(
+            p, x, t, c, down_block_additional_residuals=d,
+            mid_block_additional_residual=m, return_deep=True,
+        )
+    )
+    out_full, deep = full(params, x, t, ctx, down, mid)
+    # deep = input to the last up block: full latent res, chs[1] channels
+    assert deep.shape == (2, 16, 16, TINY.block_out_channels[1])
+
+    shallow = jax.jit(
+        lambda p, x, t, c, deep, d: unet.apply(
+            p, x, t, c, deep, down_block_additional_residuals=d,
+            method="shallow_forward",
+        )
+    )
+    out_shallow = shallow(params, x, t, ctx, deep, down)
+    np.testing.assert_allclose(
+        np.asarray(out_shallow), np.asarray(out_full), rtol=1e-5, atol=1e-6
+    )
+
+    # a stale deep feature (from a different sample) must actually matter
+    out2, deep2 = full(params, x * 0.5, t, ctx, down, mid)
+    out_stale = shallow(params, x, t, ctx, deep2, down)
+    assert not np.allclose(np.asarray(out_stale), np.asarray(out_full), atol=1e-4)
+
+    # and shallow_forward must still track the CURRENT sample through the
+    # recomputed highest-resolution level
+    out_track = shallow(params, x * 0.5, t, ctx, deep, down)
+    assert not np.allclose(np.asarray(out_track), np.asarray(out_shallow), atol=1e-4)
+
+
+def test_shallow_forward_rejects_controlnet_mode(tiny_controlnet):
+    cn, params = tiny_controlnet
+    with pytest.raises(ValueError, match="shallow_forward"):
+        cn.apply(
+            params, jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 7, 24)), jnp.zeros((1, 16, 16, 64)),
+            method="shallow_forward",
+        )
+
+
 def test_cond_embedding_conv_stack(rng):
     cn = SD15UNet(TINY, controlnet_mode=True, attn_impl="xla")
     cond = jnp.asarray(rng.standard_normal((1, 128, 128, 3), dtype=np.float32))
