@@ -1,8 +1,22 @@
 """Trace ONE full try-on generation (the real jitted program) and aggregate
-device time by HLO category + top ops — the honest step breakdown."""
+device time by HLO category + top ops — the honest step breakdown.
+
+Optional --controlnet_cache_interval / --unet_cache_interval trace the
+opt-in cached serving programs instead of the exact one."""
+import argparse
 import os, sys, glob, json, gzip, collections, re
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--controlnet_cache_interval", type=int, default=1)
+ap.add_argument("--unet_cache_interval", type=int, default=1)
+cli = ap.parse_args()
+ckw = {}
+if cli.controlnet_cache_interval > 1:
+    ckw["controlnet_cache_interval"] = cli.controlnet_cache_interval
+if cli.unet_cache_interval > 1:
+    ckw["unet_cache_interval"] = cli.unet_cache_interval
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
@@ -16,7 +30,7 @@ neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
 imgs = [jnp.asarray(rng.standard_normal((1, 512, 512, 3)), jnp.float32) * 0.1 for _ in range(6)]
 
 def run(seed):
-    return pipe(params, ids, neg, imgs, rng=jax.random.key(seed), num_inference_steps=20, guidance_scale=3.5)
+    return pipe(params, ids, neg, imgs, rng=jax.random.key(seed), num_inference_steps=20, guidance_scale=3.5, **ckw)
 
 out = run(0); np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
 logdir = "/tmp/edgestyle_trace_pipe"
