@@ -59,6 +59,13 @@ def parse_args(argv=None):
                         "step, splicing the cached deep feature back through "
                         "the high-res level in between (DeepCache-style "
                         "opt-in trade, BASELINE.md; 1 = exact)")
+    p.add_argument("--cfg_interval", type=float, nargs=2, default=(0.0, 1.0),
+                   metavar=("START", "END"),
+                   help="apply classifier-free guidance only inside this "
+                        "step-fraction window; outside it the uncond half "
+                        "is skipped (half-batch steps — opt-in "
+                        "latency/quality trade, BASELINE.md; 0.0 1.0 = "
+                        "exact)")
     p.add_argument("--max_batch", type=int, default=1,
                    help=">1 enables dynamic request batching: concurrent "
                         "requests coalesce into one batched generation")

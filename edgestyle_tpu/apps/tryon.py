@@ -93,6 +93,13 @@ def parse_args(argv=None):
                         "step, splicing the cached deep feature back through "
                         "the high-res level in between (DeepCache-style "
                         "opt-in trade, BASELINE.md; 1 = exact)")
+    p.add_argument("--cfg_interval", type=float, nargs=2, default=(0.0, 1.0),
+                   metavar=("START", "END"),
+                   help="apply classifier-free guidance only inside this "
+                        "step-fraction window; outside it the uncond half "
+                        "is skipped (half-batch steps — opt-in "
+                        "latency/quality trade, BASELINE.md; 0.0 1.0 = "
+                        "exact)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="result.png")
     return p.parse_args(argv)
@@ -147,13 +154,18 @@ class TryOnSystem:
         self.unet_cache_interval = int(
             getattr(args, "unet_cache_interval", 1) or 1
         )
+        ci = getattr(args, "cfg_interval", None) or (0.0, 1.0)
+        self.cfg_interval = (float(ci[0]), float(ci[1]))
         if (
-            self.cache_interval > 1 or self.unet_cache_interval > 1
+            self.cache_interval > 1
+            or self.unet_cache_interval > 1
+            or self.cfg_interval != (0.0, 1.0)
         ) and getattr(args, "exported_dir", None):
             raise ValueError(
                 "--controlnet_cache_interval / --unet_cache_interval > 1 "
-                "need the live pipeline: the artifact path (--exported_dir) "
-                "runs the denoise step as a fixed serialized graph"
+                "and --cfg_interval need the live pipeline: the artifact "
+                "path (--exported_dir) runs the denoise step as a fixed "
+                "serialized graph"
             )
         if getattr(args, "exported_dir", None):
             from edgestyle_tpu.pipelines.artifact import ArtifactPipeline
@@ -267,17 +279,25 @@ class TryOnSystem:
             to_norm(cond["clothes1"]), to01(cond["clothes1_pose"]),
             to_norm(cond["clothes2"]), to01(cond["clothes2_pose"]),
         ]
-        kw = {}
-        if self.cache_interval > 1:
-            kw["controlnet_cache_interval"] = self.cache_interval
-        if self.unet_cache_interval > 1:
-            kw["unet_cache_interval"] = self.unet_cache_interval
+        kw = self._approx_kwargs()
         out = self.pipe(
             self.gen_params, prompt_ids, neg_ids, imgs,
             rng=self.jax.random.key(seed), num_inference_steps=steps,
             guidance_scale=guidance, **kw,
         )
         return np.asarray(out[0])
+
+    def _approx_kwargs(self):
+        """Pipeline kwargs for the opt-in serving approximations (cache
+        intervals, CFG window); empty when everything is exact."""
+        kw = {}
+        if self.cache_interval > 1:
+            kw["controlnet_cache_interval"] = self.cache_interval
+        if self.unet_cache_interval > 1:
+            kw["unet_cache_interval"] = self.unet_cache_interval
+        if self.cfg_interval != (0.0, 1.0):
+            kw["cfg_interval"] = self.cfg_interval
+        return kw
 
     def generate_batch(self, conds, prompt_ids, neg_ids, steps=20,
                        guidance=3.5, seeds=(0,)):
@@ -322,11 +342,7 @@ class TryOnSystem:
             for s in seeds
         ])
         g = guidance if np.isscalar(guidance) else jnp.asarray(guidance, jnp.float32)
-        kw = {}
-        if self.cache_interval > 1:
-            kw["controlnet_cache_interval"] = self.cache_interval
-        if self.unet_cache_interval > 1:
-            kw["unet_cache_interval"] = self.unet_cache_interval
+        kw = self._approx_kwargs()
         out = self.pipe(
             self.gen_params, prompt_ids, neg_ids, imgs, latents=lat,
             num_inference_steps=steps, guidance_scale=g, **kw,

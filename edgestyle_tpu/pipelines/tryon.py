@@ -214,6 +214,7 @@ class EdgeStylePipeline:
         quant_scales=None,
         controlnet_cache_interval: int = 1,
         unet_cache_interval: int = 1,
+        cfg_interval=(0.0, 1.0),
     ):
         cfg = self.cfg
         b = prompt_ids.shape[0]
@@ -268,6 +269,23 @@ class EdgeStylePipeline:
 
             params = quantize_denoise_params(params)
 
+        # cfg_interval (static floats): the per-step CFG on/off schedule,
+        # same step-window convention as the controlnet_keep mask
+        # (_step_scales). All-on (the default) keeps cfg_on=None so the
+        # exact program is byte-identical to before the knob existed.
+        import numpy as _np
+
+        start, end = cfg_interval
+        si = _np.arange(num_inference_steps, dtype=_np.float32)
+        active = ~(
+            (si / num_inference_steps < start)
+            | ((si + 1) / num_inference_steps > end)
+        )
+        cfg_sched = None if bool(active.all()) else jnp.asarray(active)
+
+        def _cfg_on(i):
+            return None if cfg_sched is None else cfg_sched[i]
+
         use_cn_cache = controlnet_cache_interval > 1
         use_deep_cache = unet_cache_interval > 1
         if not (use_cn_cache or use_deep_cache):
@@ -275,6 +293,7 @@ class EdgeStylePipeline:
                 return self._model_step(
                     params, context, embs, embs2, scales, g, b, guess_mode,
                     sample, t, i, quant_scales=quant_scales,
+                    cfg_on=_cfg_on(i),
                 )
 
             final = self.scheduler.sample_loop(
@@ -328,6 +347,7 @@ class EdgeStylePipeline:
                     sample, t, i, quant_scales=quant_scales,
                     cache=cache, cache_interval=controlnet_cache_interval,
                     unet_cache_interval=unet_cache_interval,
+                    cfg_on=_cfg_on(i),
                 )
 
             final = self.scheduler.sample_loop(
@@ -377,12 +397,22 @@ class EdgeStylePipeline:
         return tuple(sorted(self._int8_scales.items()))
 
     def _residual_step(
-        self, params, context, embs, embs2, scales, b, guess_mode, sample, t, i
+        self, params, context, embs, embs2, scales, b, guess_mode, sample, t, i,
+        use_cfg: bool = True,
     ):
         """The six-branch ControlNet evaluation for one denoise step →
         (12 down residuals, mid residual), CFG-doubled to 2B rows exactly
-        as the UNet consumes them. Caller must already be inside
+        as the UNet consumes them. With ``use_cfg=False`` (a CFG-disabled
+        step inside a ``cfg_interval`` window) only the conditional half is
+        evaluated and returned at B rows. Caller must already be inside
         quantize_intercept when ``params`` holds QuantKernel leaves."""
+        if not use_cfg:
+            # no uncond half this step: B rows, conditional context only
+            tb = jnp.broadcast_to(t, (b,))
+            return self.mcn(
+                params["controlnet"], sample, tb, context[b:], embs,
+                scales[i], guess_mode=guess_mode,
+            )
         if guess_mode:
             # controlnet sees only the conditional half; the uncond
             # half gets zero residuals (reference
@@ -404,9 +434,9 @@ class EdgeStylePipeline:
     def _model_step(
         self, params, context, embs, embs2, scales, g, b, guess_mode,
         sample, t, i, quant_scales=None, cache=None, cache_interval=1,
-        unet_cache_interval=1,
+        unet_cache_interval=1, cfg_on=None,
     ):
-        """One CFG denoise-model evaluation (ControlNets + UNet + guidance
+        """One denoise-model evaluation (ControlNets + UNet + guidance
         combine). The optional W8A8 int8 path (ops/quant.py) wraps exactly
         this scope — VAE / CLIP / cond embedding stay bf16.
 
@@ -419,6 +449,9 @@ class EdgeStylePipeline:
                    :meth:`SD15UNet.shallow_forward` except when
                    ``i % unet_cache_interval == 0`` (DeepCache-style —
                    see ``unet_cache_interval``).
+        ``cfg_on`` is either None (CFG every step — the exact path) or a
+        traced bool selecting between the CFG evaluation (2B rows) and the
+        half-batch conditional-only evaluation (see ``cfg_interval``).
         Returns ``(output, new_cache)`` when ``cache`` is a dict."""
         from edgestyle_tpu.ops.quant import quantize_intercept
 
@@ -426,65 +459,113 @@ class EdgeStylePipeline:
             self.quant.startswith("int8"),
             static_scales=dict(quant_scales) if quant_scales else None,
         ):
-            new_cache = {}
-            if cache is None or "cn" not in cache:
-                down, mid = self._residual_step(
+            args = (params, context, embs, embs2, scales, g, b, guess_mode,
+                    sample, t, cache_interval, unet_cache_interval)
+            if cfg_on is None:
+                return self._eval_step(True, *args, i, cache)
+            # Both branches see/return the SAME cache pytree (2B rows);
+            # the half-batch branch duplicates its refreshes into both
+            # halves (see _eval_step).
+            return jax.lax.cond(
+                cfg_on,
+                lambda ic: self._eval_step(True, *args, *ic),
+                lambda ic: self._eval_step(False, *args, *ic),
+                (i, cache),
+            )
+
+    def _eval_step(
+        self, use_cfg, params, context, embs, embs2, scales, g, b,
+        guess_mode, sample, t, cache_interval, unet_cache_interval, i, cache,
+    ):
+        """The denoise-model evaluation body, parametrised (statically)
+        over whether this step applies classifier-free guidance.
+
+        With ``use_cfg=False`` the ControlNets and the UNet run at B rows
+        (conditional context only) and the raw conditional prediction is
+        the output — the evaluation CFG with guidance 1.0 would produce,
+        at half the compute. Cache pytrees keep their CFG-doubled 2B-row
+        shapes either way (lax.cond branches must agree): half-batch
+        refreshes store the conditional rows duplicated into both halves,
+        and reads slice the conditional half."""
+        new_cache = {}
+        if cache is None or "cn" not in cache:
+            down, mid = self._residual_step(
+                params, context, embs, embs2, scales, b, guess_mode,
+                sample, t, i, use_cfg=use_cfg,
+            )
+        else:
+            def refresh(c):
+                d, m = self._residual_step(
                     params, context, embs, embs2, scales, b, guess_mode,
-                    sample, t, i,
+                    sample, t, i, use_cfg=use_cfg,
                 )
-            else:
-                down, mid = jax.lax.cond(
-                    i % cache_interval == 0,
-                    lambda c: self._residual_step(
-                        params, context, embs, embs2, scales, b, guess_mode,
-                        sample, t, i,
-                    ),
-                    lambda c: c,
-                    cache["cn"],
-                )
-                new_cache["cn"] = (down, mid)
-            x2 = jnp.concatenate([sample, sample], axis=0)
-            t2 = jnp.broadcast_to(t, (2 * b,))
-            if cache is not None and "deep" in cache:
-                def full_unet(deep):
-                    return self.unet.apply(
-                        {"params": params["unet"]},
-                        x2, t2, context,
-                        down_block_additional_residuals=down,
-                        mid_block_additional_residual=mid,
-                        return_deep=True,
-                    )
+                if not use_cfg:  # keep the carry at 2B rows
+                    d = tuple(jnp.concatenate([x, x], axis=0) for x in d)
+                    m = jnp.concatenate([m, m], axis=0)
+                return d, m
 
-                def shallow_unet(deep):
-                    out = self.unet.apply(
-                        {"params": params["unet"]},
-                        x2, t2, context, deep,
-                        down_block_additional_residuals=down,
-                        method="shallow_forward",
-                    )
-                    return out, deep
-
-                noise, new_deep = jax.lax.cond(
-                    i % unet_cache_interval == 0,
-                    full_unet, shallow_unet, cache["deep"],
-                )
-                new_cache["deep"] = new_deep
+            down2, mid2 = jax.lax.cond(
+                i % cache_interval == 0, refresh, lambda c: c, cache["cn"]
+            )
+            new_cache["cn"] = (down2, mid2)
+            if use_cfg:
+                down, mid = down2, mid2
             else:
-                noise = self.unet.apply(
+                down = tuple(x[b:] for x in down2)
+                mid = mid2[b:]
+        rows = 2 * b if use_cfg else b
+        x2 = jnp.concatenate([sample, sample], axis=0) if use_cfg else sample
+        t2 = jnp.broadcast_to(t, (rows,))
+        ctx = context if use_cfg else context[b:]
+        if cache is not None and "deep" in cache:
+            def full_unet(deep):
+                noise, new_deep = self.unet.apply(
                     {"params": params["unet"]},
-                    x2, t2, context,
+                    x2, t2, ctx,
                     down_block_additional_residuals=down,
                     mid_block_additional_residual=mid,
+                    return_deep=True,
                 )
+                if not use_cfg:  # keep the carry at 2B rows
+                    new_deep = jnp.concatenate([new_deep, new_deep], axis=0)
+                return noise, new_deep
+
+            def shallow_unet(deep):
+                out = self.unet.apply(
+                    {"params": params["unet"]},
+                    x2, t2, ctx, deep if use_cfg else deep[b:],
+                    down_block_additional_residuals=down,
+                    method="shallow_forward",
+                )
+                return out, deep
+
+            noise, new_deep = jax.lax.cond(
+                i % unet_cache_interval == 0,
+                full_unet, shallow_unet, cache["deep"],
+            )
+            new_cache["deep"] = new_deep
+        else:
+            noise = self.unet.apply(
+                {"params": params["unet"]},
+                x2, t2, ctx,
+                down_block_additional_residuals=down,
+                mid_block_additional_residual=mid,
+            )
+        if use_cfg:
             uncond, cond = jnp.split(noise, 2, axis=0)
             out = uncond + g * (cond - uncond)
-            return out if cache is None else (out, new_cache)
+        else:
+            # cond-only prediction ≡ CFG with guidance 1.0; cast to the CFG
+            # branch's f32 (g-promoted) dtype so lax.cond branches agree
+            out = noise.astype(jnp.float32)
+        return out if cache is None else (out, new_cache)
 
     @functools.partial(
         jax.jit, static_argnums=(0, 6),
         static_argnames=(
             "return_latents", "guess_mode", "quant_scales",
             "controlnet_cache_interval", "unet_cache_interval",
+            "cfg_interval",
         ),
     )
     def _generate_jit(
@@ -492,6 +573,7 @@ class EdgeStylePipeline:
         num_inference_steps, guidance_scale, conditioning_scale, latents,
         return_latents=False, guess_mode=False, quant_scales=None,
         controlnet_cache_interval=1, unet_cache_interval=1,
+        cfg_interval=(0.0, 1.0),
     ):
         return self._generate(
             params, prompt_ids, negative_prompt_ids, cond_images, rng,
@@ -499,6 +581,7 @@ class EdgeStylePipeline:
             return_latents, guess_mode, quant_scales=quant_scales,
             controlnet_cache_interval=controlnet_cache_interval,
             unet_cache_interval=unet_cache_interval,
+            cfg_interval=cfg_interval,
         )
 
     def __call__(
@@ -518,6 +601,7 @@ class EdgeStylePipeline:
         control_guidance_end=1.0,
         controlnet_cache_interval: int = 1,
         unet_cache_interval: int = 1,
+        cfg_interval=(0.0, 1.0),
     ):
         """Generate try-on images.
 
@@ -547,7 +631,24 @@ class EdgeStylePipeline:
         inheritance). Composes with controlnet_cache_interval — aligned
         intervals mean the deep ControlNet residuals are consumed exactly
         at refresh steps; with k_cn > 1 the deep residuals the cached
-        UNet levels would consume are frozen into the deep feature."""
+        UNet levels would consume are frozen into the deep feature.
+
+        ``cfg_interval`` (opt-in, NOT a reference feature): apply
+        classifier-free guidance only on the steps inside the
+        (start, end) step-fraction window (same convention as the
+        control_guidance window: step i is inside iff i/N >= start and
+        (i+1)/N <= end). Outside the window the uncond half is skipped
+        entirely — ControlNets and UNet run at half batch, ≈2× per-step
+        compute on a compute-bound program — and the conditional
+        prediction is used directly (≡ guidance 1.0). Guidance matters
+        most in the early high-noise steps (guidance-interval /
+        adaptive-guidance literature: Kynkäänniemi et al. 2024,
+        arXiv:2404.07724; SD-Acc's phase-aware sampling), so
+        ``cfg_interval=(0.0, 0.4)`` is the typical truncation. Composes
+        with both cache intervals; (0.0, 1.0) is exact reference
+        semantics. When combined with caches and a window that re-enters
+        CFG (start > 0), note cache refreshes during CFG-off steps store
+        the conditional residuals for both halves."""
         for name, val in (
             ("controlnet_cache_interval", controlnet_cache_interval),
             ("unet_cache_interval", unet_cache_interval),
@@ -556,6 +657,19 @@ class EdgeStylePipeline:
                 raise ValueError(
                     f"{name} must be an int >= 1, got {val!r}"
                 )
+        try:
+            cfg_interval = (float(cfg_interval[0]), float(cfg_interval[1]))
+        except (TypeError, ValueError, IndexError):
+            raise ValueError(
+                f"cfg_interval must be a (start, end) pair of fractions, "
+                f"got {cfg_interval!r}"
+            )
+        if not (
+            0.0 <= cfg_interval[0] < cfg_interval[1] <= 1.0
+        ):
+            raise ValueError(
+                f"cfg_interval needs 0 <= start < end <= 1, got {cfg_interval}"
+            )
         self._check_inputs(prompt_ids, negative_prompt_ids, cond_images,
                            num_inference_steps, latents)
         if rng is None:
@@ -589,6 +703,7 @@ class EdgeStylePipeline:
             quant_scales=quant_scales,
             controlnet_cache_interval=controlnet_cache_interval,
             unet_cache_interval=unet_cache_interval,
+            cfg_interval=cfg_interval,
         )
 
     def calibrate_int8(

@@ -57,7 +57,14 @@ def main():
                     help="stack the cache on the W8A8 quant path: the "
                          "cached pipe runs quantized, the exact baseline "
                          "stays bf16 (measures the COMBINED serving mode)")
+    ap.add_argument("--cfg_interval", type=float, nargs=2, default=(0.0, 1.0),
+                    metavar=("START", "END"),
+                    help="stack the CFG window on the approximate side: "
+                         "guidance only inside this step-fraction window, "
+                         "half-batch steps outside it; the exact baseline "
+                         "keeps full CFG")
     args = ap.parse_args()
+    cfg_iv = (float(args.cfg_interval[0]), float(args.cfg_interval[1]))
     print(jax.default_backend(), jax.devices(), flush=True)
 
     b = args.batch
@@ -92,10 +99,12 @@ def main():
     }
 
     def run(k, ku=1, p=None):
-        return (p if p is not None else qpipe)(
+        exact_side = p is not None
+        return (p if exact_side else qpipe)(
             params, ids, neg, imgs, rng=jax.random.key(7),
             num_inference_steps=args.steps, guidance_scale=3.5,
             controlnet_cache_interval=k, unet_cache_interval=ku,
+            cfg_interval=(0.0, 1.0) if exact_side else cfg_iv,
         )
 
     # the exact baseline is always the plain bf16 k=1 program
@@ -104,8 +113,8 @@ def main():
     t1 = timeit(lambda: run(1, p=pipe), iters=3)
     for k in args.intervals:
         for ku in args.unet_intervals:
-            if k == 1 and ku == 1:
-                continue
+            if k == 1 and ku == 1 and cfg_iv == (0.0, 1.0):
+                continue  # identical to the exact baseline — nothing to measure
             ok = np.asarray(run(k, ku), np.float32)
             tk = timeit(run, k, ku, iters=3)
             results = {
@@ -121,6 +130,7 @@ def main():
                 "batch": b,
                 "cache_interval": k,
                 "unet_cache_interval": ku,
+                "cfg_interval": list(cfg_iv),
                 "quant": args.quant,
                 "exact_img_s": round(b / t1, 4),
                 "cached_img_s": round(b / tk, 4),

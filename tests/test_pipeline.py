@@ -482,3 +482,111 @@ def test_generate_tp_matches_single_device(pipe_and_params, rng):
     with pytest.raises(ValueError, match="divisible"):
         i3, n3, im3 = _inputs(rng, b=3)
         pipe.generate_tp(mesh, params, i3, n3, im3, num_inference_steps=1)
+
+
+def test_cfg_interval_validation(pipe_and_params, rng):
+    pipe, params = pipe_and_params
+    ids, neg, imgs = _inputs(rng)
+    for bad in ((0.5, 0.5), (-0.1, 1.0), (0.0, 1.2), (1.0, 0.0), 0.5, "x",
+                (0.2,)):
+        with pytest.raises(ValueError, match="cfg_interval"):
+            pipe(params, ids, neg, imgs, num_inference_steps=1,
+                 cfg_interval=bad)
+
+
+def test_cfg_interval_full_window_is_exact(pipe_and_params, rng):
+    """(0.0, 1.0) must leave the program untouched (cfg_on=None path):
+    bitwise-identical outputs."""
+    pipe, params = pipe_and_params
+    ids, neg, imgs = _inputs(rng)
+    key = jax.random.key(5)
+    a = pipe(params, ids, neg, imgs, rng=key, num_inference_steps=2)
+    b = pipe(params, ids, neg, imgs, rng=key, num_inference_steps=2,
+             cfg_interval=(0.0, 1.0))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cfg_interval_matches_manual_loop(pipe_and_params, rng):
+    """cfg_interval=(0, 0.4) over 5 steps = CFG on steps 0-1, cond-only
+    (half-batch) prediction on steps 2-4 — equals a host-side loop that
+    implements exactly that, and diverges from the always-CFG path."""
+    pipe, params = pipe_and_params
+    params = _bump_heads(params)
+    ids, neg, imgs = _inputs(rng)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    steps = 5
+    got = pipe(params, ids, neg, imgs, latents=lat, num_inference_steps=steps,
+               guidance_scale=3.5, cfg_interval=(0.0, 0.4),
+               return_latents=True)
+
+    context = pipe.encode_prompt(params, ids, neg)
+    embs = pipe.embed_cond_images(params, imgs)
+    embs2 = [jnp.concatenate([e, e], axis=0) for e in embs]
+    plan = pipe.scheduler.plan(steps)
+    scales = pipe._step_scales(steps, None, 0.0, 1.0)
+    g = jnp.float32(3.5)
+    state = pipe.scheduler.init_state(lat.shape, lat.dtype)
+    sample = lat
+    for i in range(steps):
+        t = plan.timesteps[i]
+        cfg_on = (i / steps >= 0.0) and ((i + 1) / steps <= 0.4)
+        if cfg_on:
+            down, mid = pipe._residual_step(
+                params, context, embs, embs2, scales, 1, False, sample, t, i
+            )
+            x2 = jnp.concatenate([sample, sample], axis=0)
+            t2 = jnp.broadcast_to(t, (2,))
+            noise = pipe.unet.apply(
+                {"params": params["unet"]}, x2, t2, context,
+                down_block_additional_residuals=down,
+                mid_block_additional_residual=mid,
+            )
+            un, cd = jnp.split(noise, 2, axis=0)
+            out = un + g * (cd - un)
+        else:
+            t1 = jnp.broadcast_to(t, (1,))
+            down, mid = pipe.mcn(
+                params["controlnet"], sample, t1, context[1:], embs,
+                scales[i],
+            )
+            out = pipe.unet.apply(
+                {"params": params["unet"]}, sample, t1, context[1:],
+                down_block_additional_residuals=down,
+                mid_block_additional_residual=mid,
+            ).astype(jnp.float32)
+        sample, state = pipe.scheduler.step(plan, i, out, sample, state)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(sample), rtol=1e-4, atol=5e-4
+    )
+
+    exact = pipe(params, ids, neg, imgs, latents=lat,
+                 num_inference_steps=steps, return_latents=True)
+    assert not np.allclose(np.asarray(got), np.asarray(exact))
+
+
+def test_cfg_interval_composes_with_caches(pipe_and_params, rng):
+    """cfg_interval + both cache intervals run in one scan; each knob
+    contributes its own divergence, and guess mode still runs."""
+    pipe, params = pipe_and_params
+    params = _bump_heads(params)
+    ids, neg, imgs = _inputs(rng)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    run = lambda **kw: np.asarray(pipe(
+        params, ids, neg, imgs, latents=lat, num_inference_steps=5,
+        return_latents=True, **kw,
+    ))
+    combo = run(controlnet_cache_interval=2, unet_cache_interval=2,
+                cfg_interval=(0.0, 0.4))
+    assert np.isfinite(combo).all()
+    caches_only = run(controlnet_cache_interval=2, unet_cache_interval=2)
+    cfg_only = run(cfg_interval=(0.0, 0.4))
+    exact = run()
+    for other in (caches_only, cfg_only, exact):
+        assert not np.array_equal(combo, other)
+
+    gm = np.asarray(pipe(
+        params, ids, neg, imgs, rng=jax.random.key(11),
+        num_inference_steps=3, guess_mode=True, cfg_interval=(0.0, 0.5),
+        controlnet_cache_interval=2,
+    ))
+    assert np.isfinite(gm).all()
