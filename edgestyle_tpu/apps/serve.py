@@ -66,6 +66,10 @@ def parse_args(argv=None):
                         "is skipped (half-batch steps — opt-in "
                         "latency/quality trade, BASELINE.md; 0.0 1.0 = "
                         "exact)")
+    p.add_argument("--tome", type=float, default=0.0,
+                   help="ToMe token-merging ratio for the UNet/ControlNet "
+                        "transformer blocks (arXiv:2303.17604; opt-in "
+                        "latency/quality trade, BASELINE.md; 0 = exact)")
     p.add_argument("--max_batch", type=int, default=1,
                    help=">1 enables dynamic request batching: concurrent "
                         "requests coalesce into one batched generation")

@@ -100,6 +100,10 @@ def parse_args(argv=None):
                         "is skipped (half-batch steps — opt-in "
                         "latency/quality trade, BASELINE.md; 0.0 1.0 = "
                         "exact)")
+    p.add_argument("--tome", type=float, default=0.0,
+                   help="ToMe token-merging ratio for the UNet/ControlNet "
+                        "transformer blocks (arXiv:2303.17604; opt-in "
+                        "latency/quality trade, BASELINE.md; 0 = exact)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="result.png")
     return p.parse_args(argv)
@@ -145,7 +149,10 @@ class TryOnSystem:
 
         self.pose_net = BodyPoseNet()
         self.preproc = TryOnPreprocessor(dtype=jnp.bfloat16)
-        self._live_pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"))
+        self._live_pipe = EdgeStylePipeline(
+            PipelineConfig(dtype="bfloat16"),
+            tome=float(getattr(args, "tome", 0.0) or 0.0) or None,
+        )
         if getattr(args, "int8_scales", None):
             self._live_pipe.load_int8_scales(args.int8_scales)
         self.cache_interval = int(
@@ -160,12 +167,13 @@ class TryOnSystem:
             self.cache_interval > 1
             or self.unet_cache_interval > 1
             or self.cfg_interval != (0.0, 1.0)
+            or self._live_pipe.tome is not None
         ) and getattr(args, "exported_dir", None):
             raise ValueError(
-                "--controlnet_cache_interval / --unet_cache_interval > 1 "
-                "and --cfg_interval need the live pipeline: the artifact "
-                "path (--exported_dir) runs the denoise step as a fixed "
-                "serialized graph"
+                "--controlnet_cache_interval / --unet_cache_interval > 1, "
+                "--cfg_interval and --tome need the live pipeline: the "
+                "artifact path (--exported_dir) runs the denoise step as a "
+                "fixed serialized graph"
             )
         if getattr(args, "exported_dir", None):
             from edgestyle_tpu.pipelines.artifact import ArtifactPipeline

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from edgestyle_tpu.ops.attention import multi_head_attention
 from edgestyle_tpu.ops.norms import group_norm, layer_norm
+from edgestyle_tpu.ops.tome import ToMeConfig
 
 
 def timestep_embedding(
@@ -234,21 +235,47 @@ class GEGLUFeedForward(nn.Module):
 
 
 class BasicTransformerBlock(nn.Module):
-    """LN→self-attn, LN→cross-attn, LN→GEGLU FF; all residual."""
+    """LN→self-attn, LN→cross-attn, LN→GEGLU FF; all residual.
+
+    ``tome`` (ops/tome.ToMeConfig, opt-in — NOT a reference feature)
+    merges the most redundant spatial tokens around the self-attention
+    (and, with merge_mlp, the feed-forward) when ``hw`` is given and the
+    token count reaches tome.min_tokens. tome=None is byte-identical to
+    the plain block."""
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    tome: Optional["ToMeConfig"] = None
 
     @nn.compact
-    def __call__(self, x, context):
-        x = x + CrossAttention(self.num_heads, self.dtype, self.attn_impl, name="attn1")(
-            LayerNorm(name="norm1")(x)
+    def __call__(self, x, context, hw: Optional[tuple] = None):
+        n = x.shape[1]
+        use_tome = (
+            self.tome is not None and hw is not None and self.tome.applies(n)
         )
+        if use_tome:
+            from edgestyle_tpu.ops.tome import build_merge
+
+            merge, unmerge, _ = build_merge(
+                x, hw[0], hw[1], int(self.tome.ratio * n)
+            )
+            attn1 = CrossAttention(
+                self.num_heads, self.dtype, self.attn_impl, name="attn1"
+            )
+            x = x + unmerge(attn1(merge(LayerNorm(name="norm1")(x))))
+        else:
+            x = x + CrossAttention(self.num_heads, self.dtype, self.attn_impl, name="attn1")(
+                LayerNorm(name="norm1")(x)
+            )
         x = x + CrossAttention(self.num_heads, self.dtype, "xla", name="attn2")(
             LayerNorm(name="norm2")(x), context
         )
-        x = x + GEGLUFeedForward(self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        ff = GEGLUFeedForward(self.dtype, name="ff")
+        if use_tome and self.tome.merge_mlp:
+            x = x + unmerge(ff(merge(LayerNorm(name="norm3")(x))))
+        else:
+            x = x + ff(LayerNorm(name="norm3")(x))
         return x
 
 
@@ -261,6 +288,7 @@ class Transformer2D(nn.Module):
     depth: int = 1
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    tome: Optional["ToMeConfig"] = None
 
     @nn.compact
     def __call__(self, x, context):
@@ -271,8 +299,9 @@ class Transformer2D(nn.Module):
         y = y.reshape(b, h * w, c)
         for i in range(self.depth):
             y = BasicTransformerBlock(
-                self.num_heads, self.dtype, self.attn_impl, name=f"blocks_{i}"
-            )(y, context)
+                self.num_heads, self.dtype, self.attn_impl, self.tome,
+                name=f"blocks_{i}",
+            )(y, context, hw=(h, w))
         y = y.reshape(b, h, w, c)
         y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
         return y + residual

@@ -195,12 +195,14 @@ class EdgeStyleMultiControlNet:
         pattern: Sequence[Optional[int]] = CONTROLNET_PATTERN,
         dtype=jnp.float32,
         attn_impl: str = "auto",
+        tome=None,
     ):
         self.cfg = cfg
         self.pattern = tuple(pattern)
         self.groups = pattern_groups(pattern)
         self.branch = SD15UNet(
-            cfg, controlnet_mode=True, dtype=dtype, attn_impl=attn_impl
+            cfg, controlnet_mode=True, dtype=dtype, attn_impl=attn_impl,
+            tome=tome,
         )
         down_ch = tuple(self.branch.skip_channels())
         # infer fusion geometry from the config so tiny test configs work

@@ -34,6 +34,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from edgestyle_tpu.ops.tome import ToMeConfig
 from edgestyle_tpu.models.layers import (
     Downsample2D,
     GroupNorm,
@@ -78,6 +79,7 @@ class DownBlock(nn.Module):
     add_downsample: bool
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    tome: Optional[ToMeConfig] = None
 
     @nn.compact
     def __call__(self, x, temb, context, run_downsample: bool = True):
@@ -87,7 +89,7 @@ class DownBlock(nn.Module):
             if self.with_attn:
                 x = Transformer2D(
                     self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
-                    name=f"attentions_{j}",
+                    tome=self.tome, name=f"attentions_{j}",
                 )(x, context)
             skips.append(x)
         # run_downsample=False serves SD15UNet.shallow_forward, whose cached
@@ -105,12 +107,14 @@ class MidBlock(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    tome: Optional[ToMeConfig] = None
 
     @nn.compact
     def __call__(self, x, temb, context):
         x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_0")(x, temb)
         x = Transformer2D(
-            self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl, name="attentions_0"
+            self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
+            tome=self.tome, name="attentions_0",
         )(x, context)
         x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_1")(x, temb)
         return x
@@ -126,6 +130,7 @@ class UpBlock(nn.Module):
     add_upsample: bool
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    tome: Optional[ToMeConfig] = None
 
     @nn.compact
     def __call__(self, x, skips, temb, context):
@@ -135,7 +140,7 @@ class UpBlock(nn.Module):
             if self.with_attn:
                 x = Transformer2D(
                     self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
-                    name=f"attentions_{j}",
+                    tome=self.tome, name=f"attentions_{j}",
                 )(x, context)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
@@ -181,6 +186,9 @@ class SD15UNet(nn.Module):
     cond_embedding_type: str = "conv"  # "conv" | "latent" (VAE/ControlLoRA)
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # opt-in ToMe token merging in the transformer blocks (ops/tome.py;
+    # param-free, checkpoints unaffected). None = exact.
+    tome: Optional[ToMeConfig] = None
 
     def setup(self):
         cfg = self.cfg
@@ -201,10 +209,13 @@ class SD15UNet(nn.Module):
                     add_downsample=i < len(chs) - 1,
                     dtype=self.dtype,
                     attn_impl=self.attn_impl,
+                    tome=self.tome,
                 )
             )
         self.down_blocks = down
-        self.mid_block = MidBlock(chs[-1], cfg.num_heads, self.dtype, self.attn_impl)
+        self.mid_block = MidBlock(
+            chs[-1], cfg.num_heads, self.dtype, self.attn_impl, self.tome
+        )
 
         if self.controlnet_mode:
             if self.cond_embedding_type == "conv":
@@ -236,6 +247,7 @@ class SD15UNet(nn.Module):
                         add_upsample=i < len(rev) - 1,
                         dtype=self.dtype,
                         attn_impl=self.attn_impl,
+                        tome=self.tome,
                     )
                 )
             self.up_blocks = ups

@@ -75,6 +75,7 @@ class EdgeStylePipeline:
         cfg: PipelineConfig = PipelineConfig(),
         attn_impl: str = "auto",
         quant: Optional[str] = None,
+        tome=None,
     ):
         self.cfg = cfg
         # opt-in W8A8 serving quantization of the denoise step (ops/quant.py;
@@ -91,12 +92,30 @@ class EdgeStylePipeline:
             # nn.Conv), so it cannot consume pre-quantized kernel leaves
             raise ValueError("EDGESTYLE_QUANT=int8 is incompatible with "
                              "EDGESTYLE_FUSED_CONV=1")
+        # opt-in ToMe token merging (ops/tome.py; param-free, composes with
+        # quant/caches/cfg window). Accepts a ToMeConfig, a bare ratio
+        # float, or the EDGESTYLE_TOME=<ratio> env default
+        # (EDGESTYLE_TOME_MIN / EDGESTYLE_TOME_MLP refine it).
+        from edgestyle_tpu.ops.tome import ToMeConfig
+
+        if tome is None and os.environ.get("EDGESTYLE_TOME"):
+            tome = float(os.environ["EDGESTYLE_TOME"])
+        if isinstance(tome, (int, float)) and not isinstance(tome, bool):
+            tome = ToMeConfig(
+                ratio=float(tome),
+                min_tokens=int(os.environ.get("EDGESTYLE_TOME_MIN", "4096")),
+                merge_mlp=os.environ.get("EDGESTYLE_TOME_MLP") == "1",
+            ) if float(tome) > 0 else None
+        if tome is not None and not isinstance(tome, ToMeConfig):
+            raise ValueError(f"tome must be a ratio or ToMeConfig, got {tome!r}")
+        self.tome = tome
         dt = cfg.jnp_dtype
         self.vae = AutoencoderKL(cfg.vae, dtype=dt)
         self.clip = CLIPTextEncoder(cfg.clip, dtype=dt)
-        self.unet = SD15UNet(cfg.unet, dtype=dt, attn_impl=attn_impl)
+        self.unet = SD15UNet(cfg.unet, dtype=dt, attn_impl=attn_impl, tome=tome)
         self.mcn = EdgeStyleMultiControlNet(
-            cfg.unet, pattern=cfg.pattern, dtype=dt, attn_impl=attn_impl
+            cfg.unet, pattern=cfg.pattern, dtype=dt, attn_impl=attn_impl,
+            tome=tome,
         )
         self.scheduler = UniPCScheduler(NoiseSchedule.sd15())
         self.vae_downscale = 2 ** (len(cfg.vae.block_out_channels) - 1)

@@ -63,6 +63,11 @@ def main():
                          "guidance only inside this step-fraction window, "
                          "half-batch steps outside it; the exact baseline "
                          "keeps full CFG")
+    ap.add_argument("--tome", type=float, default=0.0,
+                    help="stack ToMe token merging (ops/tome.py) on the "
+                         "approximate side at this ratio (0 = off)")
+    ap.add_argument("--tome_mlp", action="store_true",
+                    help="also merge the feed-forward (ToMe merge_mlp)")
     args = ap.parse_args()
     cfg_iv = (float(args.cfg_interval[0]), float(args.cfg_interval[1]))
     print(jax.default_backend(), jax.devices(), flush=True)
@@ -74,10 +79,16 @@ def main():
     imgs = structured_images(g, b, args.px)
 
     pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
+    tome = None
+    if args.tome > 0:
+        from edgestyle_tpu.ops.tome import ToMeConfig
+
+        tome = ToMeConfig(ratio=args.tome, merge_mlp=args.tome_mlp)
     qpipe = (
-        pipe if args.quant == "none"
+        pipe if args.quant == "none" and tome is None
         else EdgeStylePipeline(
-            PipelineConfig(dtype="bfloat16"), attn_impl="auto", quant=args.quant
+            PipelineConfig(dtype="bfloat16"), attn_impl="auto",
+            quant=args.quant, tome=tome,
         )
     )
     params = pipe.init_params(jax.random.key(0))
@@ -113,7 +124,7 @@ def main():
     t1 = timeit(lambda: run(1, p=pipe), iters=3)
     for k in args.intervals:
         for ku in args.unet_intervals:
-            if k == 1 and ku == 1 and cfg_iv == (0.0, 1.0):
+            if k == 1 and ku == 1 and cfg_iv == (0.0, 1.0) and tome is None:
                 continue  # identical to the exact baseline — nothing to measure
             ok = np.asarray(run(k, ku), np.float32)
             tk = timeit(run, k, ku, iters=3)
@@ -131,6 +142,7 @@ def main():
                 "cache_interval": k,
                 "unet_cache_interval": ku,
                 "cfg_interval": list(cfg_iv),
+                "tome": args.tome,
                 "quant": args.quant,
                 "exact_img_s": round(b / t1, 4),
                 "cached_img_s": round(b / tk, 4),

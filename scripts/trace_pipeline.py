@@ -11,17 +11,26 @@ import jax, jax.numpy as jnp, numpy as np
 ap = argparse.ArgumentParser()
 ap.add_argument("--controlnet_cache_interval", type=int, default=1)
 ap.add_argument("--unet_cache_interval", type=int, default=1)
+ap.add_argument("--cfg_interval", type=float, nargs=2, default=(0.0, 1.0))
+ap.add_argument("--tome", type=float, default=0.0)
+ap.add_argument("--tome_mlp", action="store_true")
 cli = ap.parse_args()
 ckw = {}
 if cli.controlnet_cache_interval > 1:
     ckw["controlnet_cache_interval"] = cli.controlnet_cache_interval
 if cli.unet_cache_interval > 1:
     ckw["unet_cache_interval"] = cli.unet_cache_interval
+if tuple(cli.cfg_interval) != (0.0, 1.0):
+    ckw["cfg_interval"] = tuple(cli.cfg_interval)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
 
-pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
+tome = None
+if cli.tome > 0:
+    from edgestyle_tpu.ops.tome import ToMeConfig
+    tome = ToMeConfig(ratio=cli.tome, merge_mlp=cli.tome_mlp)
+pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto", tome=tome)
 params = pipe.init_params(jax.random.key(0))
 params = jax.tree.map(lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params)
 rng = np.random.default_rng(0)
