@@ -52,6 +52,10 @@ def parse_args(argv=None):
                         "int8-static calibrates activation scales first "
                         "(on random conditioning unless real checkpoints "
                         "AND representative inputs are wired in)")
+    p.add_argument("--tome", type=float, default=0.0,
+                   help="bake ToMe token merging (ops/tome.py, "
+                        "arXiv:2303.17604) at this ratio into the exported "
+                        "unet_controlnet graph (0 = exact)")
     return p.parse_args(argv)
 
 
@@ -68,7 +72,7 @@ def main(argv=None, config=None):
     from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
 
     cfg = config or PipelineConfig(dtype=args.dtype)
-    pipe = EdgeStylePipeline(cfg)
+    pipe = EdgeStylePipeline(cfg, tome=(args.tome or None))
     if args.random_init:
         params = pipe.init_params(jax.random.key(0))
     else:

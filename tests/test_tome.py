@@ -129,3 +129,19 @@ def test_pipeline_tome_plumbing(rng, monkeypatch):
     assert EdgeStylePipeline(TINY_PIPE).tome is None
     with pytest.raises(ValueError, match="tome"):
         EdgeStylePipeline(TINY_PIPE, tome="half")
+
+
+def test_export_cli_bakes_tome(tmp_path):
+    """--tome bakes the merged-attention denoise graph into the artifact
+    (reference export_onnx.py analog with the opt-in lever applied)."""
+    from edgestyle_tpu.apps.export import main
+    from tests.test_pipeline import TINY_PIPE
+
+    report = main(
+        ["--output_dir", str(tmp_path), "--random_init",
+         "--what", "unet_controlnet", "--dtype", "float32",
+         "--tome", "0.5"],
+        config=TINY_PIPE,
+    )
+    assert (tmp_path / "unet_controlnet.stablehlo").exists()
+    assert report["unet_controlnet"]["flops"] > 0
