@@ -352,9 +352,11 @@ def bench_tryon_cfg():
 
 
 def bench_tryon_fast():
-    """Opt-in (not in --config all): the recommended aggressive serving
-    mode — CFG window (0, 0.4) + ControlNet-residual cache k=3. Measured
-    2.12x over exact at SSIM 0.9988 (BASELINE.md "CFG step window")."""
+    """The recommended aggressive serving mode (--mode aggressive on
+    tryon/serve) — CFG window (0, 0.4) + ControlNet-residual cache k=3.
+    Measured 2.12x over exact at SSIM 0.9988 (BASELINE.md "CFG step
+    window"); emitted by default so the serving rate is machine-visible
+    round over round."""
     import jax
     import jax.numpy as jnp
 
@@ -382,14 +384,19 @@ def bench_tryon_fast():
 
 CONFIGS = {"tryon": bench_tryon, "tryon_b4": bench_tryon_b4, "vae": bench_vae,
            "sam": bench_sam, "unet_cn": bench_unet_cn, "train": bench_train,
-           "fused": bench_fused}
+           "fused": bench_fused,
+           # the recommended aggressive serving mode (opt-in knobs:
+           # cfg window 0.4 + ControlNet-residual cache k=3; 2.12x over
+           # exact at SSIM 0.9988, BASELINE.md "CFG step window") — emitted
+           # by default so the serving number is machine-visible round over
+           # round; the exact-semantics headline stays the FIRST line
+           "tryon_fast": bench_tryon_fast}
 # runnable by name but excluded from --config all (opt-in feature; heavy
 # extra compiles)
 OPTIONAL_CONFIGS = {"tryon_int8_b4": bench_tryon_int8_b4,
                     "tryon_cached": bench_tryon_cached,
                     "tryon_cached_stack": bench_tryon_cached_stack,
-                    "tryon_cfg": bench_tryon_cfg,
-                    "tryon_fast": bench_tryon_fast}
+                    "tryon_cfg": bench_tryon_cfg}
 
 
 def main():

@@ -49,6 +49,9 @@ def parse_args(argv=None):
                         "the published recipes)")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--guidance", type=float, default=3.5)
+    from edgestyle_tpu.apps.tryon import add_serving_mode_arg
+
+    add_serving_mode_arg(p)
     p.add_argument("--controlnet_cache_interval", type=int, default=1,
                    help="refresh the six-branch ControlNet residuals every "
                         "k-th denoise step and reuse them in between "
@@ -59,6 +62,16 @@ def parse_args(argv=None):
                         "step, splicing the cached deep feature back through "
                         "the high-res level in between (DeepCache-style "
                         "opt-in trade, BASELINE.md; 1 = exact)")
+    p.add_argument("--controlnet_cache_steps", type=int, nargs="+",
+                   default=None, metavar="STEP",
+                   help="explicit ControlNet-residual refresh steps (must "
+                        "include 0; non-uniform --controlnet_cache_interval; "
+                        "mutually exclusive with the interval flag)")
+    p.add_argument("--unet_cache_steps", type=int, nargs="+",
+                   default=None, metavar="STEP",
+                   help="explicit UNet deep-feature refresh steps (must "
+                        "include 0; non-uniform --unet_cache_interval; "
+                        "mutually exclusive with the interval flag)")
     p.add_argument("--cfg_interval", type=float, nargs=2, default=(0.0, 1.0),
                    metavar=("START", "END"),
                    help="apply classifier-free guidance only inside this "

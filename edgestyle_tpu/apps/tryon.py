@@ -52,6 +52,54 @@ def add_model_source_args(p):
     return p
 
 
+# Serving-mode presets (README "Serving-mode cheat sheet"): named bundles
+# of the opt-in approximation knobs, measured on v5e-1 in BASELINE.md.
+# "exact" is reference semantics. A preset only fills knobs the user left
+# at their defaults — explicit flags always win.
+SERVING_MODES = {
+    "exact": {},
+    # 1.43x at SSIM 0.9986 (BASELINE.md "CFG step window")
+    "conservative": {"cfg_interval": (0.0, 0.4)},
+    # 2.12x at SSIM 0.9988 — the recommended aggressive mode
+    "aggressive": {"cfg_interval": (0.0, 0.4), "controlnet_cache_interval": 3},
+    # highest measured B=1 rate (1.54 img/s, SSIM 0.9877)
+    "turbo": {"cfg_interval": (0.0, 0.4), "controlnet_cache_interval": 3,
+              "unet_cache_interval": 2, "tome": 0.5},
+}
+_MODE_KNOB_DEFAULTS = {
+    "cfg_interval": (0.0, 1.0),
+    "controlnet_cache_interval": 1,
+    "unet_cache_interval": 1,
+    "tome": 0.0,
+}
+
+
+def apply_serving_mode(args):
+    """Fold ``args.mode``'s preset into the individual knob attributes,
+    leaving any knob the user set explicitly untouched (detected by
+    comparing against the argparse default object)."""
+    mode = getattr(args, "mode", None) or "exact"
+    if mode not in SERVING_MODES:
+        raise ValueError(
+            f"unknown serving mode {mode!r} (choose from "
+            f"{sorted(SERVING_MODES)})"
+        )
+    for knob, value in SERVING_MODES[mode].items():
+        if getattr(args, knob, None) == _MODE_KNOB_DEFAULTS[knob]:
+            setattr(args, knob, value)
+    return args
+
+
+def add_serving_mode_arg(p):
+    p.add_argument("--mode", type=str, default="exact",
+                   choices=sorted(SERVING_MODES),
+                   help="serving-mode preset bundling the opt-in "
+                        "approximation knobs (README cheat sheet / "
+                        "BASELINE.md measurements); individual knob flags "
+                        "override the preset; exact = reference semantics")
+    return p
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="EdgeStyle-TPU end-to-end try-on")
     p.add_argument("--subject", type=str, required=True)
@@ -83,6 +131,7 @@ def parse_args(argv=None):
                         "(pose keypoints still detected by the pose program)")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--guidance", type=float, default=3.5)
+    add_serving_mode_arg(p)
     p.add_argument("--controlnet_cache_interval", type=int, default=1,
                    help="refresh the six-branch ControlNet residuals every "
                         "k-th denoise step and reuse them in between "
@@ -93,6 +142,18 @@ def parse_args(argv=None):
                         "step, splicing the cached deep feature back through "
                         "the high-res level in between (DeepCache-style "
                         "opt-in trade, BASELINE.md; 1 = exact)")
+    p.add_argument("--controlnet_cache_steps", type=int, nargs="+",
+                   default=None, metavar="STEP",
+                   help="explicit ControlNet-residual refresh steps (must "
+                        "include 0; the non-uniform generalization of "
+                        "--controlnet_cache_interval — front-load refreshes "
+                        "for quality at the same refresh count; mutually "
+                        "exclusive with the interval flag)")
+    p.add_argument("--unet_cache_steps", type=int, nargs="+",
+                   default=None, metavar="STEP",
+                   help="explicit UNet deep-feature refresh steps (must "
+                        "include 0; non-uniform --unet_cache_interval; "
+                        "mutually exclusive with the interval flag)")
     p.add_argument("--cfg_interval", type=float, nargs=2, default=(0.0, 1.0),
                    metavar=("START", "END"),
                    help="apply classifier-free guidance only inside this "
@@ -139,6 +200,8 @@ class TryOnSystem:
         from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
 
         self.jax, self.jnp = jax, jnp
+        if args is not None:
+            apply_serving_mode(args)
         rng = rng if rng is not None else jax.random.key(0)
         k = jax.random.split(rng, 3)
         # branch-0 cond source: the reference DEFAULT is the head image —
@@ -163,14 +226,21 @@ class TryOnSystem:
         )
         ci = getattr(args, "cfg_interval", None) or (0.0, 1.0)
         self.cfg_interval = (float(ci[0]), float(ci[1]))
+        cs = getattr(args, "controlnet_cache_steps", None)
+        self.cache_steps = tuple(int(s) for s in cs) if cs else None
+        us = getattr(args, "unet_cache_steps", None)
+        self.unet_cache_steps = tuple(int(s) for s in us) if us else None
         if (
             self.cache_interval > 1
             or self.unet_cache_interval > 1
+            or self.cache_steps is not None
+            or self.unet_cache_steps is not None
             or self.cfg_interval != (0.0, 1.0)
             or self._live_pipe.tome is not None
         ) and getattr(args, "exported_dir", None):
             raise ValueError(
                 "--controlnet_cache_interval / --unet_cache_interval > 1, "
+                "--controlnet_cache_steps / --unet_cache_steps, "
                 "--cfg_interval and --tome need the live pipeline: the "
                 "artifact path (--exported_dir) runs the denoise step as a "
                 "fixed serialized graph"
@@ -303,6 +373,10 @@ class TryOnSystem:
             kw["controlnet_cache_interval"] = self.cache_interval
         if self.unet_cache_interval > 1:
             kw["unet_cache_interval"] = self.unet_cache_interval
+        if self.cache_steps is not None:
+            kw["controlnet_cache_steps"] = self.cache_steps
+        if self.unet_cache_steps is not None:
+            kw["unet_cache_steps"] = self.unet_cache_steps
         if self.cfg_interval != (0.0, 1.0):
             kw["cfg_interval"] = self.cfg_interval
         return kw

@@ -234,6 +234,8 @@ class EdgeStylePipeline:
         controlnet_cache_interval: int = 1,
         unet_cache_interval: int = 1,
         cfg_interval=(0.0, 1.0),
+        controlnet_cache_steps=None,
+        unet_cache_steps=None,
     ):
         cfg = self.cfg
         b = prompt_ids.shape[0]
@@ -305,8 +307,29 @@ class EdgeStylePipeline:
         def _cfg_on(i):
             return None if cfg_sched is None else cfg_sched[i]
 
-        use_cn_cache = controlnet_cache_interval > 1
-        use_deep_cache = unet_cache_interval > 1
+        # Cache refresh schedules: uniform intervals and explicit step
+        # tuples normalize to ONE per-step boolean refresh mask each
+        # (constant arrays indexed by the traced step — the non-uniform
+        # generalization DeepCache itself recommends: front-load refreshes
+        # where the trajectory moves fastest). A schedule that refreshes
+        # every step is the exact program.
+        def _refresh_sched(interval, steps):
+            if steps is None:
+                if interval <= 1:
+                    return None
+                steps = range(0, num_inference_steps, interval)
+            mask = _np.zeros((num_inference_steps,), bool)
+            mask[list(steps)] = True
+            if bool(mask.all()):
+                return None
+            return jnp.asarray(mask)
+
+        cn_sched = _refresh_sched(
+            controlnet_cache_interval, controlnet_cache_steps
+        )
+        deep_sched = _refresh_sched(unet_cache_interval, unet_cache_steps)
+        use_cn_cache = cn_sched is not None
+        use_deep_cache = deep_sched is not None
         if not (use_cn_cache or use_deep_cache):
             def model_fn(sample, t, i):
                 return self._model_step(
@@ -364,8 +387,7 @@ class EdgeStylePipeline:
                 return self._model_step(
                     params, context, embs, embs2, scales, g, b, guess_mode,
                     sample, t, i, quant_scales=quant_scales,
-                    cache=cache, cache_interval=controlnet_cache_interval,
-                    unet_cache_interval=unet_cache_interval,
+                    cache=cache, cn_sched=cn_sched, deep_sched=deep_sched,
                     cfg_on=_cfg_on(i),
                 )
 
@@ -452,8 +474,8 @@ class EdgeStylePipeline:
 
     def _model_step(
         self, params, context, embs, embs2, scales, g, b, guess_mode,
-        sample, t, i, quant_scales=None, cache=None, cache_interval=1,
-        unet_cache_interval=1, cfg_on=None,
+        sample, t, i, quant_scales=None, cache=None, cn_sched=None,
+        deep_sched=None, cfg_on=None,
     ):
         """One denoise-model evaluation (ControlNets + UNet + guidance
         combine). The optional W8A8 int8 path (ops/quant.py) wraps exactly
@@ -462,12 +484,15 @@ class EdgeStylePipeline:
         ``cache`` is either None (exact path) or a dict carried through the
         scan with any of:
           'cn'   — previous-step six-branch residuals; the MCN only runs
-                   when ``i % cache_interval == 0`` (stale-sample
-                   approximation — see ``controlnet_cache_interval``).
+                   on steps where ``cn_sched[i]`` is True (stale-sample
+                   approximation — see ``controlnet_cache_interval`` /
+                   ``controlnet_cache_steps``).
           'deep' — previous refresh's UNet deep feature; the UNet runs
-                   :meth:`SD15UNet.shallow_forward` except when
-                   ``i % unet_cache_interval == 0`` (DeepCache-style —
-                   see ``unet_cache_interval``).
+                   :meth:`SD15UNet.shallow_forward` except on steps where
+                   ``deep_sched[i]`` is True (DeepCache-style — see
+                   ``unet_cache_interval`` / ``unet_cache_steps``).
+        ``cn_sched``/``deep_sched`` are constant per-step boolean refresh
+        masks (built host-side in :meth:`_generate`).
         ``cfg_on`` is either None (CFG every step — the exact path) or a
         traced bool selecting between the CFG evaluation (2B rows) and the
         half-batch conditional-only evaluation (see ``cfg_interval``).
@@ -479,7 +504,7 @@ class EdgeStylePipeline:
             static_scales=dict(quant_scales) if quant_scales else None,
         ):
             args = (params, context, embs, embs2, scales, g, b, guess_mode,
-                    sample, t, cache_interval, unet_cache_interval)
+                    sample, t, cn_sched, deep_sched)
             if cfg_on is None:
                 return self._eval_step(True, *args, i, cache)
             # Both branches see/return the SAME cache pytree (2B rows);
@@ -494,7 +519,7 @@ class EdgeStylePipeline:
 
     def _eval_step(
         self, use_cfg, params, context, embs, embs2, scales, g, b,
-        guess_mode, sample, t, cache_interval, unet_cache_interval, i, cache,
+        guess_mode, sample, t, cn_sched, deep_sched, i, cache,
     ):
         """The denoise-model evaluation body, parametrised (statically)
         over whether this step applies classifier-free guidance.
@@ -524,7 +549,7 @@ class EdgeStylePipeline:
                 return d, m
 
             down2, mid2 = jax.lax.cond(
-                i % cache_interval == 0, refresh, lambda c: c, cache["cn"]
+                cn_sched[i], refresh, lambda c: c, cache["cn"]
             )
             new_cache["cn"] = (down2, mid2)
             if use_cfg:
@@ -559,8 +584,7 @@ class EdgeStylePipeline:
                 return out, deep
 
             noise, new_deep = jax.lax.cond(
-                i % unet_cache_interval == 0,
-                full_unet, shallow_unet, cache["deep"],
+                deep_sched[i], full_unet, shallow_unet, cache["deep"],
             )
             new_cache["deep"] = new_deep
         else:
@@ -584,7 +608,7 @@ class EdgeStylePipeline:
         static_argnames=(
             "return_latents", "guess_mode", "quant_scales",
             "controlnet_cache_interval", "unet_cache_interval",
-            "cfg_interval",
+            "cfg_interval", "controlnet_cache_steps", "unet_cache_steps",
         ),
     )
     def _generate_jit(
@@ -592,7 +616,8 @@ class EdgeStylePipeline:
         num_inference_steps, guidance_scale, conditioning_scale, latents,
         return_latents=False, guess_mode=False, quant_scales=None,
         controlnet_cache_interval=1, unet_cache_interval=1,
-        cfg_interval=(0.0, 1.0),
+        cfg_interval=(0.0, 1.0), controlnet_cache_steps=None,
+        unet_cache_steps=None,
     ):
         return self._generate(
             params, prompt_ids, negative_prompt_ids, cond_images, rng,
@@ -601,6 +626,8 @@ class EdgeStylePipeline:
             controlnet_cache_interval=controlnet_cache_interval,
             unet_cache_interval=unet_cache_interval,
             cfg_interval=cfg_interval,
+            controlnet_cache_steps=controlnet_cache_steps,
+            unet_cache_steps=unet_cache_steps,
         )
 
     def __call__(
@@ -621,6 +648,8 @@ class EdgeStylePipeline:
         controlnet_cache_interval: int = 1,
         unet_cache_interval: int = 1,
         cfg_interval=(0.0, 1.0),
+        controlnet_cache_steps: Optional[Sequence[int]] = None,
+        unet_cache_steps: Optional[Sequence[int]] = None,
     ):
         """Generate try-on images.
 
@@ -667,7 +696,17 @@ class EdgeStylePipeline:
         with both cache intervals; (0.0, 1.0) is exact reference
         semantics. When combined with caches and a window that re-enters
         CFG (start > 0), note cache refreshes during CFG-off steps store
-        the conditional residuals for both halves."""
+        the conditional residuals for both halves.
+
+        ``controlnet_cache_steps`` / ``unet_cache_steps`` (opt-in): the
+        non-uniform generalization of the cache intervals — an explicit
+        tuple of refresh step indices instead of an every-k schedule
+        (DeepCache's own non-uniform "1+quadratic" sampling,
+        arXiv:2312.00858 §4.2: the denoise trajectory moves fastest early,
+        so front-loading refreshes buys quality at the same refresh
+        count/speed). Must include step 0; mutually exclusive with the
+        corresponding interval knob. ``steps=range(0, N, k)`` is exactly
+        ``interval=k``."""
         for name, val in (
             ("controlnet_cache_interval", controlnet_cache_interval),
             ("unet_cache_interval", unet_cache_interval),
@@ -676,6 +715,40 @@ class EdgeStylePipeline:
                 raise ValueError(
                     f"{name} must be an int >= 1, got {val!r}"
                 )
+
+        def _norm_steps(name, steps, interval):
+            if steps is None:
+                return None
+            if interval != 1:
+                raise ValueError(
+                    f"{name} and its interval knob are mutually exclusive "
+                    f"(got explicit steps with interval={interval})"
+                )
+            try:
+                steps = tuple(sorted({int(s) for s in steps}))
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"{name} must be an iterable of ints, got {steps!r}"
+                )
+            if not steps or steps[0] != 0:
+                raise ValueError(
+                    f"{name} must include step 0 (the cache seed is only "
+                    f"valid once refreshed), got {steps!r}"
+                )
+            if steps[-1] >= num_inference_steps:
+                raise ValueError(
+                    f"{name} entries must be < num_inference_steps="
+                    f"{num_inference_steps}, got {steps!r}"
+                )
+            return steps
+
+        controlnet_cache_steps = _norm_steps(
+            "controlnet_cache_steps", controlnet_cache_steps,
+            controlnet_cache_interval,
+        )
+        unet_cache_steps = _norm_steps(
+            "unet_cache_steps", unet_cache_steps, unet_cache_interval
+        )
         try:
             cfg_interval = (float(cfg_interval[0]), float(cfg_interval[1]))
         except (TypeError, ValueError, IndexError):
@@ -723,6 +796,8 @@ class EdgeStylePipeline:
             controlnet_cache_interval=controlnet_cache_interval,
             unet_cache_interval=unet_cache_interval,
             cfg_interval=cfg_interval,
+            controlnet_cache_steps=controlnet_cache_steps,
+            unet_cache_steps=unet_cache_steps,
         )
 
     def calibrate_int8(

@@ -68,6 +68,15 @@ def main():
                          "approximate side at this ratio (0 = off)")
     ap.add_argument("--tome_mlp", action="store_true",
                     help="also merge the feed-forward (ToMe merge_mlp)")
+    ap.add_argument("--cn_steps", type=int, nargs="+", default=None,
+                    metavar="STEP",
+                    help="measure an explicit (non-uniform) ControlNet "
+                         "refresh schedule instead of the --intervals "
+                         "cross-product (must include 0)")
+    ap.add_argument("--unet_steps", type=int, nargs="+", default=None,
+                    metavar="STEP",
+                    help="explicit UNet deep-feature refresh schedule to "
+                         "pair with --cn_steps (must include 0)")
     args = ap.parse_args()
     cfg_iv = (float(args.cfg_interval[0]), float(args.cfg_interval[1]))
     print(jax.default_backend(), jax.devices(), flush=True)
@@ -109,12 +118,13 @@ def main():
         for k, v in params["controlnet"].items()
     }
 
-    def run(k, ku=1, p=None):
+    def run(k=1, ku=1, p=None, cn_steps=None, unet_steps=None):
         exact_side = p is not None
         return (p if exact_side else qpipe)(
             params, ids, neg, imgs, rng=jax.random.key(7),
             num_inference_steps=args.steps, guidance_scale=3.5,
             controlnet_cache_interval=k, unet_cache_interval=ku,
+            controlnet_cache_steps=cn_steps, unet_cache_steps=unet_steps,
             cfg_interval=(0.0, 1.0) if exact_side else cfg_iv,
         )
 
@@ -122,33 +132,44 @@ def main():
     exact = np.asarray(run(1, p=pipe), np.float32)
     print(f"exact out std={exact.std():.4f}", flush=True)
     t1 = timeit(lambda: run(1, p=pipe), iters=3)
+
+    def report(ok, tk, **extra):
+        results = {
+            "tryon_ssim_exact_vs_cached": round(
+                float(jnp.mean(ssim(jnp.asarray(exact), jnp.asarray(ok)))), 5
+            ),
+            "tryon_psnr_db": round(
+                float(jnp.mean(psnr(jnp.asarray(exact), jnp.asarray(ok)))), 2
+            ),
+            "tryon_mae": round(float(np.abs(exact - ok).mean()), 5),
+            "steps": args.steps,
+            "px": args.px,
+            "batch": b,
+            "cfg_interval": list(cfg_iv),
+            "tome": args.tome,
+            "quant": args.quant,
+            "exact_img_s": round(b / t1, 4),
+            "cached_img_s": round(b / tk, 4),
+            "cached_speedup": round(t1 / tk, 3),
+            **extra,
+        }
+        print(json.dumps(results), flush=True)
+
+    if args.cn_steps or args.unet_steps:
+        cn = tuple(args.cn_steps) if args.cn_steps else None
+        us = tuple(args.unet_steps) if args.unet_steps else None
+        ok = np.asarray(run(cn_steps=cn, unet_steps=us), np.float32)
+        tk = timeit(lambda: run(cn_steps=cn, unet_steps=us), iters=3)
+        report(ok, tk, cache_steps=list(cn or ()), unet_cache_steps=list(us or ()))
+        return
+
     for k in args.intervals:
         for ku in args.unet_intervals:
             if k == 1 and ku == 1 and cfg_iv == (0.0, 1.0) and tome is None:
                 continue  # identical to the exact baseline — nothing to measure
             ok = np.asarray(run(k, ku), np.float32)
             tk = timeit(run, k, ku, iters=3)
-            results = {
-                "tryon_ssim_exact_vs_cached": round(
-                    float(jnp.mean(ssim(jnp.asarray(exact), jnp.asarray(ok)))), 5
-                ),
-                "tryon_psnr_db": round(
-                    float(jnp.mean(psnr(jnp.asarray(exact), jnp.asarray(ok)))), 2
-                ),
-                "tryon_mae": round(float(np.abs(exact - ok).mean()), 5),
-                "steps": args.steps,
-                "px": args.px,
-                "batch": b,
-                "cache_interval": k,
-                "unet_cache_interval": ku,
-                "cfg_interval": list(cfg_iv),
-                "tome": args.tome,
-                "quant": args.quant,
-                "exact_img_s": round(b / t1, 4),
-                "cached_img_s": round(b / tk, 4),
-                "cached_speedup": round(t1 / tk, 3),
-            }
-            print(json.dumps(results), flush=True)
+            report(ok, tk, cache_interval=k, unet_cache_interval=ku)
 
 
 if __name__ == "__main__":

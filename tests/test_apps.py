@@ -168,3 +168,40 @@ def test_reference_readme_recipe_parses():
     assert a.prodigy_safeguard_warmup is True
     assert a.mixed_precision == "fp16" and a.max_train_steps == 20000
     assert a.use_agnostic_images is False  # recipe never sets it → head crops
+
+
+def test_serving_mode_presets():
+    """--mode presets fold into the knob flags; explicit flags win; the
+    preset table matches the README cheat sheet semantics."""
+    from edgestyle_tpu.apps.tryon import (
+        SERVING_MODES, apply_serving_mode, parse_args as tryon_args)
+
+    base = ["--subject", "s.jpg", "--clothes1", "a.jpg", "--clothes2", "b.jpg"]
+    a = apply_serving_mode(tryon_args(base + ["--mode", "aggressive"]))
+    assert tuple(a.cfg_interval) == (0.0, 0.4)
+    assert a.controlnet_cache_interval == 3
+    assert a.unet_cache_interval == 1 and a.tome == 0.0
+
+    # explicit knob beats the preset
+    a = apply_serving_mode(tryon_args(
+        base + ["--mode", "aggressive", "--controlnet_cache_interval", "2"]))
+    assert a.controlnet_cache_interval == 2
+    assert tuple(a.cfg_interval) == (0.0, 0.4)
+
+    a = apply_serving_mode(tryon_args(base + ["--mode", "turbo"]))
+    assert a.unet_cache_interval == 2 and a.tome == 0.5
+
+    # exact = all knobs at reference semantics
+    a = apply_serving_mode(tryon_args(base))
+    assert a.controlnet_cache_interval == 1 and a.unet_cache_interval == 1
+    assert tuple(a.cfg_interval) == (0.0, 1.0) and a.tome == 0.0
+    assert set(SERVING_MODES) == {"exact", "conservative", "aggressive", "turbo"}
+
+    # serve.py exposes the same flag
+    from edgestyle_tpu.apps.serve import parse_args as serve_args
+
+    s = apply_serving_mode(serve_args(["--port", "0", "--mode", "conservative"]))
+    assert tuple(s.cfg_interval) == (0.0, 0.4)
+    # idempotent (TryOnSystem applies it again)
+    s2 = apply_serving_mode(s)
+    assert tuple(s2.cfg_interval) == (0.0, 0.4)

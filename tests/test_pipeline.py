@@ -590,3 +590,75 @@ def test_cfg_interval_composes_with_caches(pipe_and_params, rng):
         controlnet_cache_interval=2,
     ))
     assert np.isfinite(gm).all()
+
+
+def test_cache_steps_equal_interval(pipe_and_params, rng):
+    """Explicit refresh-step tuples are the non-uniform generalization of
+    the interval knobs: steps=range(0, N, k) must reproduce interval=k
+    exactly, and an every-step schedule must reproduce the exact path."""
+    pipe, params = pipe_and_params
+    params = _bump_heads(params)
+    ids, neg, imgs = _inputs(rng)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    steps = 5
+    run = lambda **kw: np.asarray(pipe(
+        params, ids, neg, imgs, latents=lat, num_inference_steps=steps,
+        return_latents=True, **kw,
+    ))
+    np.testing.assert_array_equal(
+        run(controlnet_cache_steps=tuple(range(0, steps, 2))),
+        run(controlnet_cache_interval=2),
+    )
+    np.testing.assert_array_equal(
+        run(unet_cache_steps=tuple(range(0, steps, 2))),
+        run(unet_cache_interval=2),
+    )
+    # refresh-every-step normalizes to the exact (cache-free) program
+    np.testing.assert_array_equal(
+        run(controlnet_cache_steps=tuple(range(steps))), run()
+    )
+
+
+def test_cache_steps_nonuniform_runs_and_differs(pipe_and_params, rng):
+    """A front-loaded schedule (same refresh count as uniform k=2) runs,
+    stays finite, and genuinely differs from both uniform and exact; it
+    composes with the cfg window and the unet-steps knob in one scan."""
+    pipe, params = pipe_and_params
+    params = _bump_heads(params)
+    ids, neg, imgs = _inputs(rng)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    steps = 5
+    run = lambda **kw: np.asarray(pipe(
+        params, ids, neg, imgs, latents=lat, num_inference_steps=steps,
+        return_latents=True, **kw,
+    ))
+    front = run(controlnet_cache_steps=(0, 1, 3))  # 3 refreshes, early-heavy
+    uniform = run(controlnet_cache_interval=2)     # 3 refreshes, even
+    exact = run()
+    assert np.isfinite(front).all()
+    assert not np.array_equal(front, uniform)
+    assert not np.array_equal(front, exact)
+    combo = run(controlnet_cache_steps=(0, 1, 3), unet_cache_steps=(0, 2),
+                cfg_interval=(0.0, 0.4))
+    assert np.isfinite(combo).all()
+    assert not np.array_equal(combo, front)
+
+
+def test_cache_steps_validation(pipe_and_params, rng):
+    pipe, params = pipe_and_params
+    ids, neg, imgs = _inputs(rng)
+    call = lambda **kw: pipe(params, ids, neg, imgs,
+                             num_inference_steps=4, **kw)
+    for name in ("controlnet_cache_steps", "unet_cache_steps"):
+        with pytest.raises(ValueError, match="include step 0"):
+            call(**{name: (1, 2)})
+        with pytest.raises(ValueError, match="num_inference_steps"):
+            call(**{name: (0, 4)})
+        with pytest.raises(ValueError, match="iterable of ints"):
+            call(**{name: ("a", "b")})
+        with pytest.raises(ValueError, match="include step 0"):
+            call(**{name: ()})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        call(controlnet_cache_steps=(0, 2), controlnet_cache_interval=2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        call(unet_cache_steps=(0, 2), unet_cache_interval=2)
