@@ -75,6 +75,10 @@ def parse_args(argv=None):
                         "edgestyle_pipeline.py:453-497)")
     p.add_argument("--control_guidance_start", type=float, default=0.0)
     p.add_argument("--control_guidance_end", type=float, default=1.0)
+    p.add_argument("--scheduler", type=str, default="unipc",
+                   choices=("unipc", "dpm++"),
+                   help="denoise sampler: unipc (reference app.py:118) or "
+                        "dpm++ (DPM-Solver++ 2M)")
     p.add_argument("--out", type=str, default="result.png")
     return p.parse_args(argv)
 
@@ -125,7 +129,9 @@ def main(argv=None):
 
     from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
 
-    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"))
+    pipe = EdgeStylePipeline(
+        PipelineConfig(dtype="bfloat16", scheduler=args.scheduler)
+    )
     if args.random_init:
         params = pipe.init_params(jax.random.key(0))
     else:

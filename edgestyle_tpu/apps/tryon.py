@@ -49,6 +49,11 @@ def add_model_source_args(p):
                    help="JSON calibration table for EDGESTYLE_QUANT="
                         "int8-static (pipeline.save_int8_scales); skips the "
                         "first-request calibration compile")
+    p.add_argument("--scheduler", type=str, default="unipc",
+                   choices=("unipc", "dpm++"),
+                   help="denoise sampler: unipc (the reference app's "
+                        "choice, app.py:118) or dpm++ (DPM-Solver++ 2M — "
+                        "the diffusers scheduler-swap surface)")
     return p
 
 
@@ -213,7 +218,10 @@ class TryOnSystem:
         self.pose_net = BodyPoseNet()
         self.preproc = TryOnPreprocessor(dtype=jnp.bfloat16)
         self._live_pipe = EdgeStylePipeline(
-            PipelineConfig(dtype="bfloat16"),
+            PipelineConfig(
+                dtype="bfloat16",
+                scheduler=getattr(args, "scheduler", None) or "unipc",
+            ),
             tome=float(getattr(args, "tome", 0.0) or 0.0) or None,
         )
         if getattr(args, "int8_scales", None):

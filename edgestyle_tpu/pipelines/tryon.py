@@ -46,6 +46,11 @@ class PipelineConfig:
     # (inference.py:500-521, controlnet-0..3) is (0, None, 1, None).
     pattern: tuple = (0, None, 1, None, 1, None)
     dtype: str = "bfloat16"
+    # sampler: "unipc" (the reference app's choice, app.py:118) or
+    # "dpm++" (DPM-Solver++ 2M — the diffusers scheduler-swap surface the
+    # reference pipeline inherits). Both run as fixed-shape lax.scan
+    # programs and support every serving knob (caches, cfg window, quant).
+    scheduler: str = "unipc"
 
     @property
     def num_branches(self) -> int:
@@ -117,7 +122,16 @@ class EdgeStylePipeline:
             cfg.unet, pattern=cfg.pattern, dtype=dt, attn_impl=attn_impl,
             tome=tome,
         )
-        self.scheduler = UniPCScheduler(NoiseSchedule.sd15())
+        if cfg.scheduler == "unipc":
+            self.scheduler = UniPCScheduler(NoiseSchedule.sd15())
+        elif cfg.scheduler in ("dpm++", "dpmsolver++"):
+            from edgestyle_tpu.schedulers.dpmsolver import DPMSolverScheduler
+
+            self.scheduler = DPMSolverScheduler(NoiseSchedule.sd15())
+        else:
+            raise ValueError(
+                f"unknown scheduler {cfg.scheduler!r} (expected 'unipc' or 'dpm++')"
+            )
         self.vae_downscale = 2 ** (len(cfg.vae.block_out_channels) - 1)
 
     # ------------------------------------------------------------------

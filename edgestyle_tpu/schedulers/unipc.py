@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from edgestyle_tpu.schedulers.ddpm import NoiseSchedule
+from edgestyle_tpu.schedulers.loop import ScanSampleLoop
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,7 +96,7 @@ def _b_coeffs(hh, B_h, K: int):
     return bs  # list of K scalars
 
 
-class UniPCScheduler:
+class UniPCScheduler(ScanSampleLoop):
     def __init__(
         self,
         sched: NoiseSchedule,
@@ -299,36 +300,4 @@ class UniPCScheduler:
         }
         return next_sample.astype(sample.dtype), new_state
 
-    # ---------------------------------------------------------- convenience
-    def sample_loop(self, plan: UniPCPlan, model_fn, init_noise, init_scale=True,
-                    pass_step=False, model_state=None):
-        """Run the full denoise loop under lax.scan.
-
-        model_fn(sample, t) → raw model output (ε or v). init_noise is a
-        standard-normal latent; UniPC's init_noise_sigma is 1.0 so no
-        scaling is applied (matching diffusers). With ``pass_step`` the
-        model_fn also receives the step index i (for per-step conditioning
-        such as the reference's controlnet_keep windows,
-        edgestyle_pipeline.py:407-427). With ``model_state`` (any pytree),
-        model_fn receives it as the final positional argument and must
-        return ``(model_output, new_model_state)``; the state threads
-        through the scan carry (used for the pipeline's cross-step
-        ControlNet-residual cache).
-        """
-        state = self.init_state(init_noise.shape, init_noise.dtype)
-        has_ms = model_state is not None
-
-        def body(carry, i):
-            sample, st, ms = carry if has_ms else (*carry, None)
-            t = plan.timesteps[i]
-            args = (sample, t, i) if pass_step else (sample, t)
-            if has_ms:
-                out, ms = model_fn(*args, ms)
-            else:
-                out = model_fn(*args)
-            nxt, st = self.step(plan, i, out, sample, st)
-            return ((nxt, st, ms) if has_ms else (nxt, st)), None
-
-        init = (init_noise, state, model_state) if has_ms else (init_noise, state)
-        carry, _ = jax.lax.scan(body, init, jnp.arange(plan.num_steps))
-        return carry[0]
+    # sample_loop comes from ScanSampleLoop (shared with DPMSolverScheduler)

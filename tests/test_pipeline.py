@@ -662,3 +662,40 @@ def test_cache_steps_validation(pipe_and_params, rng):
         call(controlnet_cache_steps=(0, 2), controlnet_cache_interval=2)
     with pytest.raises(ValueError, match="mutually exclusive"):
         call(unet_cache_steps=(0, 2), unet_cache_interval=2)
+
+
+def test_dpm_scheduler_generate(pipe_and_params, rng):
+    """scheduler='dpm++' (DPM-Solver++ 2M) runs the same generate surface
+    as UniPC: correct shapes/range, deterministic given rng, a genuinely
+    different sampler trajectory, and full composition with the serving
+    knobs (caches + cfg window) in one scan."""
+    import dataclasses
+
+    pipe_u, params = pipe_and_params
+    pipe_d = EdgeStylePipeline(
+        dataclasses.replace(TINY_PIPE, scheduler="dpm++"), attn_impl="xla"
+    )
+    ids, neg, imgs = _inputs(rng)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    run = lambda p, **kw: np.asarray(p(
+        params, ids, neg, imgs, latents=lat, num_inference_steps=4,
+        return_latents=True, **kw,
+    ))
+    d1, d2, u = run(pipe_d), run(pipe_d), run(pipe_u)
+    np.testing.assert_array_equal(d1, d2)
+    assert np.isfinite(d1).all()
+    assert not np.array_equal(d1, u)  # different sampler, different path
+    img = np.asarray(pipe_d(params, ids, neg, imgs, num_inference_steps=2))
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(img).all() and img.min() >= 0.0 and img.max() <= 1.0
+    combo = run(pipe_d, controlnet_cache_interval=2, unet_cache_interval=2,
+                cfg_interval=(0.0, 0.5))
+    assert np.isfinite(combo).all()
+    assert not np.array_equal(combo, d1)
+
+
+def test_unknown_scheduler_rejected():
+    import dataclasses
+
+    with pytest.raises(ValueError, match="unknown scheduler"):
+        EdgeStylePipeline(dataclasses.replace(TINY_PIPE, scheduler="euler"))

@@ -188,6 +188,158 @@ def test_unipc_matches_diffusers_transcription(num_steps, order):
     )
 
 
+# ============================================ diffusers DPM-Solver++ ref
+class DiffusersDPMRef:
+    """diffusers scheduling_dpmsolver_multistep.py transcribed to float64
+    numpy with the original's dynamic control flow (algorithm_type
+    'dpmsolver++', timestep_spacing 'linspace', final_sigmas_type 'zero',
+    lower_order_final=True, epsilon prediction)."""
+
+    def __init__(self, alphas_cumprod, solver_order=2, solver_type="midpoint"):
+        self.ac = np.asarray(alphas_cumprod, np.float64)
+        self.T = len(self.ac)
+        self.order = solver_order
+        self.solver_type = solver_type
+
+    def set_timesteps(self, n):
+        self.n = n
+        self.timesteps = (
+            np.linspace(0, self.T - 1, n + 1).round()[::-1][:-1].astype(np.int64)
+        )
+        sig = np.sqrt((1.0 - self.ac) / self.ac)
+        self.sigmas = np.concatenate([sig[self.timesteps], [0.0]])
+        self.model_outputs = [None] * self.order
+        self.lower_order_nums = 0
+        self.step_index = 0
+
+    @staticmethod
+    def _alpha_sigma(sigma):
+        alpha = 1.0 / np.sqrt(1.0 + sigma**2)
+        return alpha, sigma * alpha
+
+    def _lambda(self, sigma):
+        a, s = self._alpha_sigma(sigma)
+        with np.errstate(divide="ignore"):
+            return np.log(a) - np.log(s)
+
+    def _convert(self, eps, sample, i):
+        a, s = self._alpha_sigma(self.sigmas[i])
+        return (sample - s * eps) / a
+
+    # dpm_solver_first_order_update
+    def _first(self, sample, i):
+        alpha_t, sigma_t = self._alpha_sigma(self.sigmas[i + 1])
+        _, sigma_s = self._alpha_sigma(self.sigmas[i])
+        h = self._lambda(self.sigmas[i + 1]) - self._lambda(self.sigmas[i])
+        m0 = self.model_outputs[-1]
+        return (sigma_t / sigma_s) * sample - alpha_t * np.expm1(-h) * m0
+
+    # multistep_dpm_solver_second_order_update
+    def _second(self, sample, i):
+        alpha_t, sigma_t = self._alpha_sigma(self.sigmas[i + 1])
+        _, sigma_s0 = self._alpha_sigma(self.sigmas[i])
+        lam_t = self._lambda(self.sigmas[i + 1])
+        lam_s0 = self._lambda(self.sigmas[i])
+        lam_s1 = self._lambda(self.sigmas[i - 1])
+        m0, m1 = self.model_outputs[-1], self.model_outputs[-2]
+        h, h_0 = lam_t - lam_s0, lam_s0 - lam_s1
+        r0 = h_0 / h
+        D0, D1 = m0, (m0 - m1) / r0
+        if self.solver_type == "midpoint":
+            return (
+                (sigma_t / sigma_s0) * sample
+                - alpha_t * np.expm1(-h) * D0
+                - 0.5 * alpha_t * np.expm1(-h) * D1
+            )
+        return (  # heun
+            (sigma_t / sigma_s0) * sample
+            - alpha_t * np.expm1(-h) * D0
+            + alpha_t * (np.expm1(-h) / h + 1.0) * D1
+        )
+
+    # multistep_dpm_solver_third_order_update
+    def _third(self, sample, i):
+        alpha_t, sigma_t = self._alpha_sigma(self.sigmas[i + 1])
+        _, sigma_s0 = self._alpha_sigma(self.sigmas[i])
+        lam_t = self._lambda(self.sigmas[i + 1])
+        lam_s0 = self._lambda(self.sigmas[i])
+        lam_s1 = self._lambda(self.sigmas[i - 1])
+        lam_s2 = self._lambda(self.sigmas[i - 2])
+        m0, m1, m2 = (
+            self.model_outputs[-1],
+            self.model_outputs[-2],
+            self.model_outputs[-3],
+        )
+        h, h_0, h_1 = lam_t - lam_s0, lam_s0 - lam_s1, lam_s1 - lam_s2
+        r0, r1 = h_0 / h, h_1 / h
+        D0 = m0
+        D1_0, D1_1 = (m0 - m1) / r0, (m1 - m2) / r1
+        D1 = D1_0 + (r0 / (r0 + r1)) * (D1_0 - D1_1)
+        D2 = (D1_0 - D1_1) / (r0 + r1)
+        return (
+            (sigma_t / sigma_s0) * sample
+            - alpha_t * np.expm1(-h) * D0
+            + alpha_t * (np.expm1(-h) / h + 1.0) * D1
+            - alpha_t * ((np.expm1(-h) + h) / h**2 - 0.5) * D2
+        )
+
+    def step(self, eps, sample):
+        i = self.step_index
+        x0 = self._convert(eps, sample, i)
+        self.model_outputs = self.model_outputs[1:] + [x0]
+        lower_order_final = i == self.n - 1  # final_sigmas_type == "zero"
+        lower_order_second = i == self.n - 2 and self.n < 15
+        if self.order == 1 or self.lower_order_nums < 1 or lower_order_final:
+            prev = self._first(sample, i)
+        elif self.order == 2 or self.lower_order_nums < 2 or lower_order_second:
+            prev = self._second(sample, i)
+        else:
+            prev = self._third(sample, i)
+        if self.lower_order_nums < self.order:
+            self.lower_order_nums += 1
+        self.step_index += 1
+        return prev
+
+
+@pytest.mark.parametrize("num_steps,order,solver_type", [
+    (20, 2, "midpoint"),  # the SD-standard configuration
+    (7, 2, "midpoint"),   # short run: the n<15 second-to-last cap engages
+    (20, 3, "midpoint"),
+    (5, 1, "midpoint"),
+    (20, 2, "heun"),
+])
+def test_dpmsolver_matches_diffusers_transcription(num_steps, order, solver_type):
+    from edgestyle_tpu.schedulers.dpmsolver import DPMSolverScheduler
+
+    sched = NoiseSchedule.sd15()
+    ours = DPMSolverScheduler(sched, solver_order=order, solver_type=solver_type)
+    plan = ours.plan(num_steps)
+
+    ref = DiffusersDPMRef(
+        np.asarray(sched.alphas_cumprod), solver_order=order,
+        solver_type=solver_type,
+    )
+    ref.set_timesteps(num_steps)
+    np.testing.assert_array_equal(np.asarray(plan.timesteps), ref.timesteps)
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 4, 4, 4))
+
+    xr = x.copy()
+    for i in range(num_steps):
+        eps = _toy_eps(xr, float(ref.timesteps[i]))
+        xr = ref.step(eps, xr)
+
+    def model_fn(sample, t):
+        return 0.9 * sample * jnp.cos(t.astype(jnp.float32) / 311.0) + 0.1
+
+    final = jax.jit(
+        lambda x0: ours.sample_loop(plan, model_fn, x0)
+    )(jnp.asarray(x, jnp.float32))
+
+    np.testing.assert_allclose(np.asarray(final), xr, rtol=2e-4, atol=2e-4)
+
+
 # ===================================================== prodigyopt ref
 class ProdigyRef:
     """prodigyopt.Prodigy transcribed to numpy float32 (single param
