@@ -112,7 +112,11 @@ def parse_args(argv=None):
         p.add_argument(flag, type=str, default=default,
                        help="compat no-op (HF/accelerate plumbing)")
     p.add_argument("--dataloader_num_workers", type=int, default=0,
-                   help="compat no-op (host input pipeline is numpy-synchronous)")
+                   help="thread-pool size for per-example image loads; any "
+                        "value > 0 also enables background batch prefetch "
+                        "(depth 2) so host collate overlaps device steps "
+                        "(the reference DataLoader num_workers analog, "
+                        "train...py:426,973)")
     p.add_argument("--allow_tf32", action="store_true",
                    help="compat no-op (TPU matmuls are bf16/fp32 via XLA)")
     p.add_argument("--set_grads_to_none", action="store_true",
@@ -287,9 +291,16 @@ def main(argv=None):
                 proportion_cutout_images=args.proportion_cutout_images,
                 proportion_patchworks=args.proportion_patchworks,
             ),
+            num_workers=args.dataloader_num_workers,
         )
     else:
         loader = _synthetic_loader(args)
+    if args.dataloader_num_workers > 0:
+        # overlap host collate/augment with device steps (bounded queue so
+        # the infinite source can't run ahead unboundedly)
+        from edgestyle_tpu.data.prefetch import prefetch
+
+        loader = prefetch(loader, depth=2)
 
     try:
         from tensorboardX import SummaryWriter
@@ -334,6 +345,8 @@ def main(argv=None):
                 ),
             )
 
+    if hasattr(loader, "close"):
+        loader.close()  # stop the prefetch producer (infinite source)
     save_checkpoint(args.output_dir, state, args.checkpoints_total_limit)
     export_safetensors(
         os.path.join(args.output_dir, "edgestyle_trainable.safetensors"),

@@ -134,8 +134,18 @@ def data_loader(
     seed: int = 0,
     proportions: Optional[Dict[str, float]] = None,
     empty_prompt: Optional[np.ndarray] = None,
+    num_workers: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Infinite shuffled loader → batches shaped (grad_accum, mb, ...)."""
+    """Infinite shuffled loader → batches shaped (grad_accum, mb, ...).
+
+    ``num_workers`` fans the per-example image loads over a thread pool
+    (order-preserving, so batches are byte-identical to the synchronous
+    path — the reference's DataLoader ``--dataloader_num_workers`` analog,
+    train...py:426,973); wrap the returned iterator in
+    ``data.prefetch.prefetch`` to also overlap collate with device steps.
+    """
+    from edgestyle_tpu.data.prefetch import parallel_map
+
     proportions = proportions or {}
     collate = CollateFn(
         empty_prompt=empty_prompt if empty_prompt is not None else np.zeros(77, np.int32),
@@ -148,5 +158,6 @@ def data_loader(
         rng.shuffle(order)
         for start in range(0, len(order) - batch_size + 1, batch_size):
             idx = order[start : start + batch_size]
-            batch = collate([ds.example(i) for i in idx], rng)
+            examples = parallel_map(ds.example, list(idx), workers=num_workers)
+            batch = collate(examples, rng)
             yield shard_for_accum(batch, grad_accum)

@@ -205,3 +205,63 @@ def test_serving_mode_presets():
     # idempotent (TryOnSystem applies it again)
     s2 = apply_serving_mode(s)
     assert tuple(s2.cfg_interval) == (0.0, 0.4)
+
+
+def test_data_loader_workers_identical_batches(tmp_path):
+    """Thread-pooled example loading + background prefetch must be
+    byte-identical to the synchronous loader (order-preserving map, same
+    collate rng stream)."""
+    from edgestyle_tpu.data.prefetch import prefetch
+
+    _make_tree(tmp_path, subjects=("s1",))
+    ds = EdgeStyleLocalDataset(str(tmp_path))
+    sync_it = data_loader(ds, batch_size=2, grad_accum=1, seed=3)
+    par_it = prefetch(
+        data_loader(ds, batch_size=2, grad_accum=1, seed=3, num_workers=2),
+        depth=2,
+    )
+    try:
+        for _ in range(3):
+            a, b = next(sync_it), next(par_it)
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    finally:
+        par_it.close()
+    assert not par_it._thread.is_alive()
+
+
+def test_prefetch_iterator_semantics():
+    """Order, exhaustion, error propagation, close() mid-stream."""
+    from edgestyle_tpu.data.prefetch import PrefetchIterator, parallel_map
+
+    # order + StopIteration
+    assert list(PrefetchIterator(iter(range(7)), depth=2)) == list(range(7))
+
+    # source exceptions surface at the consumer
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = PrefetchIterator(bad(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+    # close() mid-stream on an infinite source stops the producer
+    import itertools
+
+    inf = PrefetchIterator(itertools.count(), depth=2)
+    assert next(inf) >= 0
+    inf.close()
+    assert not inf._thread.is_alive()
+    with pytest.raises(StopIteration):
+        next(inf)
+
+    # parallel_map preserves order and degrades gracefully
+    assert parallel_map(lambda x: x * x, [3, 1, 2], workers=2) == [9, 1, 4]
+    assert parallel_map(lambda x: x * x, [3], workers=4) == [9]
+    assert parallel_map(lambda x: x + 1, [1, 2], workers=0) == [2, 3]
+
+    with pytest.raises(ValueError, match="depth"):
+        PrefetchIterator(iter([]), depth=0)
