@@ -62,3 +62,19 @@ def test_mesh_and_batch_sharding():
     # psum over the data axis must see all 8 shards
     total = jax.jit(lambda b: jnp.sum(b["x"] + 1))(sharded)
     assert total == 16 * 4
+
+
+def test_persistent_cache_noop_on_cpu():
+    """Regression (r3): serializing XLA:CPU executables into the
+    persistent compile cache segfaults intermittently, and app mains
+    invoked in-process by tests were enabling it for the whole CPU-pinned
+    test process. enable_persistent_cache must no-op when jax_platforms
+    pins cpu (this test process does, via conftest)."""
+    import jax
+
+    from edgestyle_tpu.core.cache import enable_persistent_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    enable_persistent_cache("/tmp/should_never_be_set")
+    assert jax.config.jax_compilation_cache_dir == before
+    assert jax.config.jax_compilation_cache_dir != "/tmp/should_never_be_set"
