@@ -259,7 +259,10 @@ class TryOnSystem:
             # generation via the serialized deployment graphs (reference
             # app-onnx.py serving path); same call signature as the live
             # pipeline, params still supplied at call time
-            self.pipe = ArtifactPipeline(args.exported_dir)
+            self.pipe = ArtifactPipeline(
+                args.exported_dir,
+                scheduler=getattr(args, "scheduler", None) or "unipc",
+            )
         else:
             self.pipe = self._live_pipe
 

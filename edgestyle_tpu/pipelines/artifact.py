@@ -6,8 +6,8 @@ loop: app-onnx.py + EdgeStyleOnnxStableDiffusionControlNetPipeline
 UNet+controlnet call, torch-side scheduler.step, ORT VAE decode). This is
 the TPU-native analog: the graphs are the serialized jitted programs from
 apps/export.py (params are call-time inputs, so one artifact dir serves
-any checkpoint), the scheduler is the same UniPC used in-pipeline, jitted
-per step index host-side.
+any checkpoint), the scheduler is the same UniPC (or DPM-Solver++, via
+``scheduler="dpm++"``) used in-pipeline, jitted per step index host-side.
 
 The one-program EdgeStylePipeline remains the fast path (a host loop
 pays one dispatch per denoise step); this path exists for deployment
@@ -31,7 +31,7 @@ GRAPHS = ("text_encoder", "cond_embed", "unet_controlnet", "vae_decoder")
 class ArtifactPipeline:
     """Try-on generation from an apps/export.py artifact directory."""
 
-    def __init__(self, artifact_dir: str):
+    def __init__(self, artifact_dir: str, scheduler: str = "unipc"):
         self.graphs = {}
         for name in GRAPHS:
             path = os.path.join(artifact_dir, f"{name}.stablehlo")
@@ -40,7 +40,16 @@ class ArtifactPipeline:
                     f"{path} missing — run apps/export.py --what all first"
                 )
             self.graphs[name] = load_program(path)
-        self.scheduler = UniPCScheduler(NoiseSchedule.sd15())
+        if scheduler == "unipc":
+            self.scheduler = UniPCScheduler(NoiseSchedule.sd15())
+        elif scheduler in ("dpm++", "dpmsolver++"):
+            from edgestyle_tpu.schedulers.dpmsolver import DPMSolverScheduler
+
+            self.scheduler = DPMSolverScheduler(NoiseSchedule.sd15())
+        else:
+            raise ValueError(
+                f"unknown scheduler {scheduler!r} (expected 'unipc' or 'dpm++')"
+            )
         self._step_cache = {}
         # the denoise graph's sample input (first non-param arg) fixes the
         # latent geometry; params are a large flat prefix, so take the

@@ -77,6 +77,19 @@ def main():
                     metavar="STEP",
                     help="explicit UNet deep-feature refresh schedule to "
                          "pair with --cn_steps (must include 0)")
+    ap.add_argument("--scheduler", type=str, default="unipc",
+                    choices=("unipc", "dpm++"),
+                    help="sampler for BOTH sides of the A/B (exact baseline "
+                         "and approximate pipe)")
+    ap.add_argument("--approx_steps", type=int, default=None,
+                    help="run the approximate side at THIS step count while "
+                         "the exact baseline keeps --steps (low-NFE study: "
+                         "e.g. --steps 20 --approx_steps 12)")
+    ap.add_argument("--approx_scheduler", type=str, default=None,
+                    choices=("unipc", "dpm++"),
+                    help="sampler for the approximate side only (defaults "
+                         "to --scheduler; pair with --approx_steps for "
+                         "sampler-vs-sampler low-NFE comparisons)")
     args = ap.parse_args()
     cfg_iv = (float(args.cfg_interval[0]), float(args.cfg_interval[1]))
     print(jax.default_backend(), jax.devices(), flush=True)
@@ -87,18 +100,19 @@ def main():
     neg = jnp.asarray(g.integers(1, 49000, (b, 77)), jnp.int32)
     imgs = structured_images(g, b, args.px)
 
-    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
+    pcfg = PipelineConfig(dtype="bfloat16", scheduler=args.scheduler)
+    pipe = EdgeStylePipeline(pcfg, attn_impl="auto")
     tome = None
     if args.tome > 0:
         from edgestyle_tpu.ops.tome import ToMeConfig
 
         tome = ToMeConfig(ratio=args.tome, merge_mlp=args.tome_mlp)
+    approx_steps = args.approx_steps or args.steps
+    qcfg = (pcfg if args.approx_scheduler is None
+            else PipelineConfig(dtype="bfloat16", scheduler=args.approx_scheduler))
     qpipe = (
-        pipe if args.quant == "none" and tome is None
-        else EdgeStylePipeline(
-            PipelineConfig(dtype="bfloat16"), attn_impl="auto",
-            quant=args.quant, tome=tome,
-        )
+        pipe if args.quant == "none" and tome is None and qcfg is pcfg
+        else EdgeStylePipeline(qcfg, attn_impl="auto", quant=args.quant, tome=tome)
     )
     params = pipe.init_params(jax.random.key(0))
     params = jax.tree.map(
@@ -122,7 +136,8 @@ def main():
         exact_side = p is not None
         return (p if exact_side else qpipe)(
             params, ids, neg, imgs, rng=jax.random.key(7),
-            num_inference_steps=args.steps, guidance_scale=3.5,
+            num_inference_steps=args.steps if exact_side else approx_steps,
+            guidance_scale=3.5,
             controlnet_cache_interval=k, unet_cache_interval=ku,
             controlnet_cache_steps=cn_steps, unet_cache_steps=unet_steps,
             cfg_interval=(0.0, 1.0) if exact_side else cfg_iv,
@@ -143,6 +158,8 @@ def main():
             ),
             "tryon_mae": round(float(np.abs(exact - ok).mean()), 5),
             "steps": args.steps,
+            "approx_steps": approx_steps,
+            "approx_scheduler": args.approx_scheduler or args.scheduler,
             "px": args.px,
             "batch": b,
             "cfg_interval": list(cfg_iv),
@@ -165,7 +182,8 @@ def main():
 
     for k in args.intervals:
         for ku in args.unet_intervals:
-            if k == 1 and ku == 1 and cfg_iv == (0.0, 1.0) and tome is None:
+            if (k == 1 and ku == 1 and cfg_iv == (0.0, 1.0) and tome is None
+                    and qpipe is pipe and approx_steps == args.steps):
                 continue  # identical to the exact baseline — nothing to measure
             ok = np.asarray(run(k, ku), np.float32)
             tk = timeit(run, k, ku, iters=3)

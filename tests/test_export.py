@@ -91,3 +91,21 @@ def test_artifact_pipeline_matches_live(tmp_path, rng):
               guidance_scale=3.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(live),
                                atol=2e-4, rtol=1e-3)
+
+    # the same artifact dir serves the DPM-Solver++ sampler (scheduler is
+    # host-side; the exported denoise-step graph is sampler-agnostic)
+    import dataclasses
+
+    pipe_d = EdgeStylePipeline(
+        dataclasses.replace(TINY_PIPE, scheduler="dpm++"), attn_impl="xla"
+    )
+    live_d = pipe_d(params, ids, neg, imgs, rng=key, num_inference_steps=3,
+                    guidance_scale=3.5)
+    art_d = ArtifactPipeline(str(tmp_path), scheduler="dpm++")
+    out_d = art_d(params, ids, neg, imgs, rng=key, num_inference_steps=3,
+                  guidance_scale=3.5)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(live_d),
+                               atol=2e-4, rtol=1e-3)
+    assert not np.allclose(np.asarray(out_d), np.asarray(out), atol=1e-4)
+    with pytest.raises(ValueError, match="unknown scheduler"):
+        ArtifactPipeline(str(tmp_path), scheduler="euler")
