@@ -81,10 +81,10 @@ def main():
                     choices=("unipc", "dpm++"),
                     help="sampler for BOTH sides of the A/B (exact baseline "
                          "and approximate pipe)")
-    ap.add_argument("--approx_steps", type=int, default=None,
-                    help="run the approximate side at THIS step count while "
-                         "the exact baseline keeps --steps (low-NFE study: "
-                         "e.g. --steps 20 --approx_steps 12)")
+    ap.add_argument("--approx_steps", type=int, nargs="+", default=None,
+                    help="run the approximate side at these step counts "
+                         "while the exact baseline keeps --steps (low-NFE "
+                         "study: e.g. --steps 20 --approx_steps 15 12 10)")
     ap.add_argument("--approx_scheduler", type=str, default=None,
                     choices=("unipc", "dpm++"),
                     help="sampler for the approximate side only (defaults "
@@ -107,7 +107,7 @@ def main():
         from edgestyle_tpu.ops.tome import ToMeConfig
 
         tome = ToMeConfig(ratio=args.tome, merge_mlp=args.tome_mlp)
-    approx_steps = args.approx_steps or args.steps
+    approx_steps_list = args.approx_steps or [args.steps]
     qcfg = (pcfg if args.approx_scheduler is None
             else PipelineConfig(dtype="bfloat16", scheduler=args.approx_scheduler))
     qpipe = (
@@ -132,11 +132,13 @@ def main():
         for k, v in params["controlnet"].items()
     }
 
-    def run(k=1, ku=1, p=None, cn_steps=None, unet_steps=None):
+    def run(k=1, ku=1, p=None, cn_steps=None, unet_steps=None,
+            n_steps=None):
         exact_side = p is not None
         return (p if exact_side else qpipe)(
             params, ids, neg, imgs, rng=jax.random.key(7),
-            num_inference_steps=args.steps if exact_side else approx_steps,
+            num_inference_steps=args.steps if exact_side
+            else (n_steps or approx_steps_list[0]),
             guidance_scale=3.5,
             controlnet_cache_interval=k, unet_cache_interval=ku,
             controlnet_cache_steps=cn_steps, unet_cache_steps=unet_steps,
@@ -158,7 +160,6 @@ def main():
             ),
             "tryon_mae": round(float(np.abs(exact - ok).mean()), 5),
             "steps": args.steps,
-            "approx_steps": approx_steps,
             "approx_scheduler": args.approx_scheduler or args.scheduler,
             "px": args.px,
             "batch": b,
@@ -177,17 +178,21 @@ def main():
         us = tuple(args.unet_steps) if args.unet_steps else None
         ok = np.asarray(run(cn_steps=cn, unet_steps=us), np.float32)
         tk = timeit(lambda: run(cn_steps=cn, unet_steps=us), iters=3)
-        report(ok, tk, cache_steps=list(cn or ()), unet_cache_steps=list(us or ()))
+        report(ok, tk, approx_steps=approx_steps_list[0],
+               cache_steps=list(cn or ()), unet_cache_steps=list(us or ()))
         return
 
-    for k in args.intervals:
-        for ku in args.unet_intervals:
-            if (k == 1 and ku == 1 and cfg_iv == (0.0, 1.0) and tome is None
-                    and qpipe is pipe and approx_steps == args.steps):
-                continue  # identical to the exact baseline — nothing to measure
-            ok = np.asarray(run(k, ku), np.float32)
-            tk = timeit(run, k, ku, iters=3)
-            report(ok, tk, cache_interval=k, unet_cache_interval=ku)
+    for n in approx_steps_list:
+        for k in args.intervals:
+            for ku in args.unet_intervals:
+                if (k == 1 and ku == 1 and cfg_iv == (0.0, 1.0)
+                        and tome is None and qpipe is pipe
+                        and n == args.steps):
+                    continue  # identical to the exact baseline
+                ok = np.asarray(run(k, ku, n_steps=n), np.float32)
+                tk = timeit(lambda: run(k, ku, n_steps=n), iters=3)
+                report(ok, tk, approx_steps=n,
+                       cache_interval=k, unet_cache_interval=ku)
 
 
 if __name__ == "__main__":
