@@ -411,6 +411,37 @@ def bench_tryon_dpm():
             "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
 
 
+def bench_tryon_lcm():
+    """Opt-in (not in --config all): 4-step LCM sampling with CFG
+    statically off — the serving shape for LCM-LoRA distilled adapters
+    (apps/distill.py; --mode lcm on tryon/serve). With random weights this
+    measures SPEED only (quality requires a distilled checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+
+    pipe = EdgeStylePipeline(
+        PipelineConfig(dtype="bfloat16", scheduler="lcm"), attn_impl="auto"
+    )
+    params = pipe.init_params(jax.random.key(0))
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
+    )
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
+    neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
+    imgs = [jnp.asarray(rng.standard_normal((1, 512, 512, 3)), jnp.float32) * 0.1
+            for _ in range(6)]
+    dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
+                              num_inference_steps=4, guidance_scale=1.0,
+                              cfg_interval=(0.0, 0.0)))
+    ips = 1.0 / dt
+    return {"metric": "tryon_lcm4_images_per_sec", "value": round(ips, 4),
+            "unit": "images/sec",
+            "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+
+
 CONFIGS = {"tryon": bench_tryon, "tryon_b4": bench_tryon_b4, "vae": bench_vae,
            "sam": bench_sam, "unet_cn": bench_unet_cn, "train": bench_train,
            "fused": bench_fused,
@@ -426,7 +457,8 @@ OPTIONAL_CONFIGS = {"tryon_int8_b4": bench_tryon_int8_b4,
                     "tryon_cached": bench_tryon_cached,
                     "tryon_cached_stack": bench_tryon_cached_stack,
                     "tryon_cfg": bench_tryon_cfg,
-                    "tryon_dpm": bench_tryon_dpm}
+                    "tryon_dpm": bench_tryon_dpm,
+                    "tryon_lcm": bench_tryon_lcm}
 
 
 def main():

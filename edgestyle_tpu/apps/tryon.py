@@ -50,10 +50,17 @@ def add_model_source_args(p):
                         "int8-static (pipeline.save_int8_scales); skips the "
                         "first-request calibration compile")
     p.add_argument("--scheduler", type=str, default="unipc",
-                   choices=("unipc", "dpm++"),
+                   choices=("unipc", "dpm++", "lcm"),
                    help="denoise sampler: unipc (the reference app's "
-                        "choice, app.py:118) or dpm++ (DPM-Solver++ 2M — "
-                        "the diffusers scheduler-swap surface)")
+                        "choice, app.py:118), dpm++ (DPM-Solver++ 2M — "
+                        "the diffusers scheduler-swap surface) or lcm "
+                        "(2-8 step sampling for --lcm_lora distilled "
+                        "adapters; pair with --cfg_interval 0 0)")
+    p.add_argument("--lcm_lora", type=str, default=None,
+                   help="LCM-LoRA adapter safetensors (apps/distill.py "
+                        "output) merged into the UNet at load — enables "
+                        "few-step serving with --scheduler lcm (or use "
+                        "--mode lcm)")
     return p
 
 
@@ -70,12 +77,18 @@ SERVING_MODES = {
     # highest measured B=1 rate (1.54 img/s, SSIM 0.9877)
     "turbo": {"cfg_interval": (0.0, 0.4), "controlnet_cache_interval": 3,
               "unet_cache_interval": 2, "tome": 0.5},
+    # few-step consistency serving — requires --lcm_lora distilled
+    # adapters (apps/distill.py); guidance is baked in at distillation,
+    # so CFG is off and the step budget drops to 4
+    "lcm": {"cfg_interval": (0.0, 0.0), "scheduler": "lcm", "steps": 4},
 }
 _MODE_KNOB_DEFAULTS = {
     "cfg_interval": (0.0, 1.0),
     "controlnet_cache_interval": 1,
     "unet_cache_interval": 1,
     "tome": 0.0,
+    "scheduler": "unipc",
+    "steps": 20,
 }
 
 
@@ -226,18 +239,7 @@ class TryOnSystem:
         )
         if getattr(args, "int8_scales", None):
             self._live_pipe.load_int8_scales(args.int8_scales)
-        self.cache_interval = int(
-            getattr(args, "controlnet_cache_interval", 1) or 1
-        )
-        self.unet_cache_interval = int(
-            getattr(args, "unet_cache_interval", 1) or 1
-        )
-        ci = getattr(args, "cfg_interval", None) or (0.0, 1.0)
-        self.cfg_interval = (float(ci[0]), float(ci[1]))
-        cs = getattr(args, "controlnet_cache_steps", None)
-        self.cache_steps = tuple(int(s) for s in cs) if cs else None
-        us = getattr(args, "unet_cache_steps", None)
-        self.unet_cache_steps = tuple(int(s) for s in us) if us else None
+        self._set_serving_knobs(args)
         if (
             self.cache_interval > 1
             or self.unet_cache_interval > 1
@@ -291,6 +293,23 @@ class TryOnSystem:
                 )
                 if args.pretrained_model
                 else None
+            )
+        lcm_path = getattr(args, "lcm_lora", None) if args is not None else None
+        if lcm_path:
+            if self.gen_params is None:
+                raise ValueError(
+                    "--lcm_lora needs generation weights (--pretrained_model "
+                    "or --random_init)"
+                )
+            from edgestyle_tpu.training.checkpoint import import_safetensors
+            from edgestyle_tpu.training.distill import apply_lcm_lora
+
+            adapters = import_safetensors(lcm_path)["lcm_lora"]
+            # jitted merge: eager per-leaf ops dispatch one RPC each on
+            # tunneled TPU backends
+            self.gen_params = dict(
+                self.gen_params,
+                unet=jax.jit(apply_lcm_lora)(self.gen_params["unet"], adapters),
             )
         if self.gen_params is not None:
             self.gen_params = jax.tree.map(
@@ -375,6 +394,24 @@ class TryOnSystem:
             guidance_scale=guidance, **kw,
         )
         return np.asarray(out[0])
+
+    def _set_serving_knobs(self, args):
+        """Initialize the opt-in approximation knobs from CLI args (or to
+        their exact-semantics defaults when ``args`` is None). Factored
+        out of __init__ so tests that assemble a TryOnSystem around tiny
+        models (TryOnSystem.__new__) can install consistent defaults."""
+        self.cache_interval = int(
+            getattr(args, "controlnet_cache_interval", 1) or 1
+        )
+        self.unet_cache_interval = int(
+            getattr(args, "unet_cache_interval", 1) or 1
+        )
+        ci = getattr(args, "cfg_interval", None) or (0.0, 1.0)
+        self.cfg_interval = (float(ci[0]), float(ci[1]))
+        cs = getattr(args, "controlnet_cache_steps", None)
+        self.cache_steps = tuple(int(s) for s in cs) if cs else None
+        us = getattr(args, "unet_cache_steps", None)
+        self.unet_cache_steps = tuple(int(s) for s in us) if us else None
 
     def _approx_kwargs(self):
         """Pipeline kwargs for the opt-in serving approximations (cache

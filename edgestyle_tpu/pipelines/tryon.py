@@ -46,10 +46,12 @@ class PipelineConfig:
     # (inference.py:500-521, controlnet-0..3) is (0, None, 1, None).
     pattern: tuple = (0, None, 1, None, 1, None)
     dtype: str = "bfloat16"
-    # sampler: "unipc" (the reference app's choice, app.py:118) or
-    # "dpm++" (DPM-Solver++ 2M — the diffusers scheduler-swap surface the
-    # reference pipeline inherits). Both run as fixed-shape lax.scan
-    # programs and support every serving knob (caches, cfg window, quant).
+    # sampler: "unipc" (the reference app's choice, app.py:118), "dpm++"
+    # (DPM-Solver++ 2M — the diffusers scheduler-swap surface the reference
+    # pipeline inherits) or "lcm" (the 2-8 step sampler for LCM-LoRA
+    # distilled weights, training/distill.py; pair with
+    # cfg_interval=(0.0, 0.0)). All run as fixed-shape lax.scan programs
+    # and support every serving knob (caches, cfg window, quant).
     scheduler: str = "unipc"
 
     @property
@@ -128,9 +130,14 @@ class EdgeStylePipeline:
             from edgestyle_tpu.schedulers.dpmsolver import DPMSolverScheduler
 
             self.scheduler = DPMSolverScheduler(NoiseSchedule.sd15())
+        elif cfg.scheduler == "lcm":
+            from edgestyle_tpu.schedulers.lcm import LCMScheduler
+
+            self.scheduler = LCMScheduler(NoiseSchedule.sd15())
         else:
             raise ValueError(
-                f"unknown scheduler {cfg.scheduler!r} (expected 'unipc' or 'dpm++')"
+                f"unknown scheduler {cfg.scheduler!r} "
+                f"(expected 'unipc', 'dpm++' or 'lcm')"
             )
         self.vae_downscale = 2 ** (len(cfg.vae.block_out_channels) - 1)
 
@@ -265,7 +272,14 @@ class EdgeStylePipeline:
         # pipeline prepare_image duplicates images under CFG, :352-377)
         embs2 = [jnp.concatenate([e, e], axis=0) for e in embs]
 
-        plan = self.scheduler.plan(num_inference_steps)
+        if getattr(self.scheduler, "needs_rng", False):
+            # stochastic samplers (LCM's per-step re-noise) get their own
+            # key; deterministic schedulers keep the exact pre-existing rng
+            # path so their programs stay byte-identical
+            rng, plan_rng = jax.random.split(rng)
+            plan = self.scheduler.plan(num_inference_steps, rng=plan_rng)
+        else:
+            plan = self.scheduler.plan(num_inference_steps)
         if latents is None:
             # latent resolution follows the conditioning images (reference
             # pipeline derives height/width from the inputs,
@@ -316,10 +330,21 @@ class EdgeStylePipeline:
             (si / num_inference_steps < start)
             | ((si + 1) / num_inference_steps > end)
         )
-        cfg_sched = None if bool(active.all()) else jnp.asarray(active)
+        # three static shapes: None → CFG every step (exact program,
+        # byte-identical to before the knob); "off" → CFG on NO step (the
+        # LCM / guidance-free serving path: only the half-batch program is
+        # traced at all); an array → per-step lax.cond dispatch
+        if bool(active.all()):
+            cfg_sched = None
+        elif not bool(active.any()):
+            cfg_sched = "off"
+        else:
+            cfg_sched = jnp.asarray(active)
 
         def _cfg_on(i):
-            return None if cfg_sched is None else cfg_sched[i]
+            if cfg_sched is None or isinstance(cfg_sched, str):
+                return cfg_sched
+            return cfg_sched[i]
 
         # Cache refresh schedules: uniform intervals and explicit step
         # tuples normalize to ONE per-step boolean refresh mask each
@@ -521,6 +546,8 @@ class EdgeStylePipeline:
                     sample, t, cn_sched, deep_sched)
             if cfg_on is None:
                 return self._eval_step(True, *args, i, cache)
+            if isinstance(cfg_on, str):  # "off": statically guidance-free
+                return self._eval_step(False, *args, i, cache)
             # Both branches see/return the SAME cache pytree (2B rows);
             # the half-batch branch duplicates its refreshes into both
             # halves (see _eval_step).
@@ -708,9 +735,13 @@ class EdgeStylePipeline:
         arXiv:2404.07724; SD-Acc's phase-aware sampling), so
         ``cfg_interval=(0.0, 0.4)`` is the typical truncation. Composes
         with both cache intervals; (0.0, 1.0) is exact reference
-        semantics. When combined with caches and a window that re-enters
-        CFG (start > 0), note cache refreshes during CFG-off steps store
-        the conditional residuals for both halves.
+        semantics. An EMPTY window (start == end, canonically
+        ``(0.0, 0.0)``) disables guidance statically: only the half-batch
+        program is traced — the serving mode for LCM-LoRA distilled
+        weights (scheduler="lcm"), whose guidance is baked in at
+        distillation time. When combined with caches and a window that
+        re-enters CFG (start > 0), note cache refreshes during CFG-off
+        steps store the conditional residuals for both halves.
 
         ``controlnet_cache_steps`` / ``unet_cache_steps`` (opt-in): the
         non-uniform generalization of the cache intervals — an explicit
@@ -771,10 +802,10 @@ class EdgeStylePipeline:
                 f"got {cfg_interval!r}"
             )
         if not (
-            0.0 <= cfg_interval[0] < cfg_interval[1] <= 1.0
+            0.0 <= cfg_interval[0] <= cfg_interval[1] <= 1.0
         ):
             raise ValueError(
-                f"cfg_interval needs 0 <= start < end <= 1, got {cfg_interval}"
+                f"cfg_interval needs 0 <= start <= end <= 1, got {cfg_interval}"
             )
         self._check_inputs(prompt_ids, negative_prompt_ids, cond_images,
                            num_inference_steps, latents)

@@ -191,11 +191,21 @@ def test_serving_mode_presets():
     a = apply_serving_mode(tryon_args(base + ["--mode", "turbo"]))
     assert a.unet_cache_interval == 2 and a.tome == 0.5
 
+    # lcm preset: few-step consistency serving (scheduler + cfg off + 4
+    # steps); explicit --steps still wins
+    a = apply_serving_mode(tryon_args(base + ["--mode", "lcm"]))
+    assert a.scheduler == "lcm" and tuple(a.cfg_interval) == (0.0, 0.0)
+    assert a.steps == 4
+    a = apply_serving_mode(tryon_args(base + ["--mode", "lcm", "--steps", "8"]))
+    assert a.steps == 8 and a.scheduler == "lcm"
+
     # exact = all knobs at reference semantics
     a = apply_serving_mode(tryon_args(base))
     assert a.controlnet_cache_interval == 1 and a.unet_cache_interval == 1
     assert tuple(a.cfg_interval) == (0.0, 1.0) and a.tome == 0.0
-    assert set(SERVING_MODES) == {"exact", "conservative", "aggressive", "turbo"}
+    assert set(SERVING_MODES) == {
+        "exact", "conservative", "aggressive", "turbo", "lcm"
+    }
 
     # serve.py exposes the same flag
     from edgestyle_tpu.apps.serve import parse_args as serve_args
