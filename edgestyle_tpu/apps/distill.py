@@ -59,6 +59,12 @@ def parse_args(argv=None):
     p.add_argument("--use_agnostic_images",
                    action=argparse.BooleanOptionalAction, default=False)
     # distillation knobs (training/distill.py DistillConfig)
+    p.add_argument("--distill_mode", type=str, default="consistency",
+                   choices=["consistency", "guidance"],
+                   help="consistency = LCM-LoRA few-step serving; guidance "
+                        "= CFG distillation (serve at the same step count "
+                        "with guidance statically off — pin the baked-in "
+                        "scale via --w_min/--w_max, w = guidance-1)")
     p.add_argument("--lora_rank", type=int, default=64)
     p.add_argument("--num_ddim_timesteps", type=int, default=50)
     p.add_argument("--w_min", type=float, default=3.0)
@@ -140,6 +146,7 @@ def main(argv=None):
     }
 
     dcfg = DistillConfig(
+        mode=args.distill_mode,
         lora_rank=args.lora_rank,
         num_ddim_timesteps=args.num_ddim_timesteps,
         w_min=args.w_min,

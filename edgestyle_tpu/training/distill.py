@@ -1,4 +1,5 @@
-"""LCM-LoRA latent-consistency distillation — one jitted step per update.
+"""Distillation trainers (LCM-LoRA consistency + CFG-guidance) — one
+jitted step per update.
 
 NOT a reference feature: the reference serves its try-on pipeline at 20
 UniPC steps (/root/reference/app.py:228-237) and has no distillation
@@ -13,7 +14,25 @@ and optimizer stack are shared with training/train_step.py, and the
 serving side is ``PipelineConfig.scheduler="lcm"`` +
 ``cfg_interval=(0.0, 0.0)`` at 2-8 steps.
 
-Algorithm (one step), following the official LCM-LoRA SD1.5 recipe:
+Two modes (``DistillConfig.mode``):
+
+* ``"consistency"`` (default) — LCM-LoRA: few-step serving, the full
+  algorithm below. Bootstrap supervision (student vs its own stop-grad
+  target one DDIM step earlier) — converges slowly but removes 80% of
+  the NFE.
+* ``"guidance"`` — CFG-guidance distillation (Meng et al.,
+  arXiv:2210.03142 stage 1): the student (LoRA-merged UNet, conditional
+  rows only) directly regresses the frozen teacher's CFG-combined
+  ε-prediction at the same (z, t), with w pinned via w_min == w_max.
+  Dense supervision (no bootstrap), so it converges much faster; the
+  product serves at the SAME step count but with guidance OFF
+  (``cfg_interval=(0.0, 0.0)``, guidance_scale=1.0), which statically
+  halves every ControlNet + UNet batch in the program — the measured
+  ≈1.4-2× of the CFG-window lever (BASELINE.md) extended to ALL steps
+  at distillation-bounded quality instead of approximation-bounded.
+
+Consistency algorithm (one step), following the official LCM-LoRA SD1.5
+recipe:
 
   x0 ~ data; t_{n+k} from a ``num_ddim_timesteps``-point DDIM grid;
   z = add_noise(x0, ε, t_{n+k}); w ~ U[w_min, w_max]
@@ -58,6 +77,9 @@ from edgestyle_tpu.training.train_step import _swap_clothes
 @dataclasses.dataclass(frozen=True)
 class DistillConfig:
     lora_rank: int = 64  # LCM-LoRA paper uses 64 for SD1.5
+    # "consistency" = LCM-LoRA few-step serving; "guidance" = CFG
+    # distillation (same steps, uncond half statically removed)
+    mode: str = "consistency"
     num_ddim_timesteps: int = 50  # the distillation grid (k = T/50 = 20)
     w_min: float = 3.0  # CFG range baked into the student
     w_max: float = 15.0
@@ -191,12 +213,19 @@ def distill_loss_fn(
     b = latents.shape[0]
     uctx = jnp.broadcast_to(uncond_ctx, (b,) + uncond_ctx.shape[1:]).astype(ctx.dtype)
 
-    # --- DDIM distillation grid: t_{n+k} (start) and t_n (target)
-    k = T // cfg.num_ddim_timesteps
-    ddim_ts = jnp.arange(1, cfg.num_ddim_timesteps + 1, dtype=jnp.int32) * k - 1
-    idx = jax.random.randint(r_idx, (b,), 0, cfg.num_ddim_timesteps)
-    start_t = ddim_ts[idx]
-    prev_t = jnp.maximum(start_t - k, 0)
+    if cfg.mode == "guidance":
+        # dense uniform timesteps — guidance distillation has no
+        # bootstrap chain, so it supervises the whole t-range directly
+        k = 0
+        start_t = jax.random.randint(r_idx, (b,), 0, T)
+        prev_t = start_t  # unused
+    else:
+        # --- DDIM distillation grid: t_{n+k} (start) and t_n (target)
+        k = T // cfg.num_ddim_timesteps
+        ddim_ts = jnp.arange(1, cfg.num_ddim_timesteps + 1, dtype=jnp.int32) * k - 1
+        idx = jax.random.randint(r_idx, (b,), 0, cfg.num_ddim_timesteps)
+        start_t = ddim_ts[idx]
+        prev_t = jnp.maximum(start_t - k, 0)
 
     noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
     noisy = add_noise(sched, latents.astype(jnp.float32), noise, start_t)
@@ -245,11 +274,9 @@ def distill_loss_fn(
         down_block_additional_residuals=down_c,
         mid_block_additional_residual=mid_c,
     )
-    x0_s, _ = _x0_eps(sched, noisy, pred_s, start_t)
-    cs_s, co_s = _boundary_scalings(cfg, start_t, noisy.ndim)
-    f_student = cs_s * noisy + co_s * x0_s
+    x0_s, eps_s = _x0_eps(sched, noisy, pred_s, start_t)
 
-    # --- teacher: frozen UNet, one batched CFG pair, then one DDIM step
+    # --- teacher: frozen UNet, one batched CFG pair
     pred_t2 = pipe.unet.apply(
         {"params": frozen["unet"]}, z2, t2, ctx2,
         down_block_additional_residuals=down2,
@@ -262,28 +289,42 @@ def distill_loss_fn(
     eps_u, eps_c = eps_t2[:b], eps_t2[b:]
     x0_cfg = x0_c + w * (x0_c - x0_u)
     eps_cfg = eps_c + w * (eps_c - eps_u)
-    ac_prev = sched.alphas_cumprod[prev_t].reshape(
-        (-1,) + (1,) * (noisy.ndim - 1)
-    )
-    x_prev = jnp.sqrt(ac_prev) * x0_cfg + jnp.sqrt(1.0 - ac_prev) * eps_cfg
-    x_prev = jax.lax.stop_gradient(x_prev)
 
-    # --- target: consistency estimate at the DDIM-stepped point
-    tgt_lora = jax.lax.stop_gradient(
-        target_lora if target_lora is not None else lcm_lora
-    )
-    target_params = merge_lora(frozen["unet"], tgt_lora)
-    down_p, mid_p = pipe.mcn(cn_params, x_prev, prev_t, ctx, embs)
-    pred_p = pipe.unet.apply(
-        {"params": target_params}, x_prev, prev_t, ctx,
-        down_block_additional_residuals=down_p,
-        mid_block_additional_residual=mid_p,
-    )
-    x0_p, _ = _x0_eps(sched, x_prev, pred_p, prev_t)
-    cs_p, co_p = _boundary_scalings(cfg, prev_t, noisy.ndim)
-    f_target = jax.lax.stop_gradient(cs_p * x_prev + co_p * x0_p)
+    if cfg.mode == "guidance":
+        # CFG distillation: the cond-only student regresses the teacher's
+        # guided ε at the SAME (z, t). ε-space (≈N(0,1) magnitudes) keeps
+        # the loss well-conditioned at large t, where x̂0 = (z − σε)/α
+        # amplifies; Meng et al. regress the model output the same way.
+        diff = eps_s - jax.lax.stop_gradient(eps_cfg)
+    elif cfg.mode == "consistency":
+        cs_s, co_s = _boundary_scalings(cfg, start_t, noisy.ndim)
+        f_student = cs_s * noisy + co_s * x0_s
 
-    diff = f_student - f_target
+        # one DDIM step along the guided teacher trajectory
+        ac_prev = sched.alphas_cumprod[prev_t].reshape(
+            (-1,) + (1,) * (noisy.ndim - 1)
+        )
+        x_prev = jnp.sqrt(ac_prev) * x0_cfg + jnp.sqrt(1.0 - ac_prev) * eps_cfg
+        x_prev = jax.lax.stop_gradient(x_prev)
+
+        # --- target: consistency estimate at the DDIM-stepped point
+        tgt_lora = jax.lax.stop_gradient(
+            target_lora if target_lora is not None else lcm_lora
+        )
+        target_params = merge_lora(frozen["unet"], tgt_lora)
+        down_p, mid_p = pipe.mcn(cn_params, x_prev, prev_t, ctx, embs)
+        pred_p = pipe.unet.apply(
+            {"params": target_params}, x_prev, prev_t, ctx,
+            down_block_additional_residuals=down_p,
+            mid_block_additional_residual=mid_p,
+        )
+        x0_p, _ = _x0_eps(sched, x_prev, pred_p, prev_t)
+        cs_p, co_p = _boundary_scalings(cfg, prev_t, noisy.ndim)
+        f_target = jax.lax.stop_gradient(cs_p * x_prev + co_p * x0_p)
+
+        diff = f_student - f_target
+    else:
+        raise ValueError(f"unknown distill mode {cfg.mode!r}")
     if cfg.loss_type == "huber":
         # pseudo-huber: sqrt(d² + c²) − c (the LCM-LoRA recipe's default)
         loss = jnp.mean(jnp.sqrt(jnp.square(diff) + cfg.huber_c**2) - cfg.huber_c)
