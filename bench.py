@@ -43,30 +43,42 @@ def _time(fn, iters=3):
     return (time.time() - t0) / iters
 
 
-def bench_tryon():
+def _tryon_bench(metric, b=1, steps=20, guidance=3.5, quant=None,
+                 scheduler="unipc", **call_kwargs):
+    """Shared harness for every try-on serving config: one full 512px
+    6-branch pipeline, random-init bf16 params, fixed seeded inputs; the
+    variants differ only in batch size, scheduler/quant construction and
+    the per-call serving knobs."""
     import jax
     import jax.numpy as jnp
 
     from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
 
-    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
+    pipe = EdgeStylePipeline(
+        PipelineConfig(dtype="bfloat16", scheduler=scheduler),
+        attn_impl="auto", quant=quant,
+    )
     params = pipe.init_params(jax.random.key(0))
     params = jax.tree.map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
     )
     rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    imgs = [jnp.asarray(rng.standard_normal((1, 512, 512, 3)), jnp.float32) * 0.1
+    ids = jnp.asarray(rng.integers(1, 49000, (b, 77)), jnp.int32)
+    neg = jnp.asarray(rng.integers(1, 49000, (b, 77)), jnp.int32)
+    imgs = [jnp.asarray(rng.standard_normal((b, 512, 512, 3)), jnp.float32) * 0.1
             for _ in range(6)]
     dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
-                              num_inference_steps=20, guidance_scale=3.5))
-    ips = 1.0 / dt
+                              num_inference_steps=steps,
+                              guidance_scale=guidance, **call_kwargs))
+    ips = b / dt
     return {
-        "metric": "tryon_images_per_sec_512px_20steps_6branch",
-        "value": round(ips, 4), "unit": "images/sec",
+        "metric": metric, "value": round(ips, 4), "unit": "images/sec",
         "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2),
     }
+
+
+def bench_tryon():
+    return _tryon_bench("tryon_images_per_sec_512px_20steps_6branch")
 
 
 def bench_vae():
@@ -174,28 +186,7 @@ def bench_train():
 
 def bench_tryon_b4():
     """Serving-throughput variant: batch 4 (B=1 is the latency headline)."""
-    import jax
-    import jax.numpy as jnp
-
-    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
-
-    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
-    params = pipe.init_params(jax.random.key(0))
-    params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
-    rng = np.random.default_rng(0)
-    B = 4
-    ids = jnp.asarray(rng.integers(1, 49000, (B, 77)), jnp.int32)
-    neg = jnp.asarray(rng.integers(1, 49000, (B, 77)), jnp.int32)
-    imgs = [jnp.asarray(rng.standard_normal((B, 512, 512, 3)), jnp.float32) * 0.1
-            for _ in range(6)]
-    dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
-                              num_inference_steps=20, guidance_scale=3.5))
-    ips = B / dt
-    return {"metric": "tryon_throughput_b4_images_per_sec", "value": round(ips, 4),
-            "unit": "images/sec",
-            "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+    return _tryon_bench("tryon_throughput_b4_images_per_sec", b=4)
 
 
 def bench_fused():
@@ -236,30 +227,8 @@ def bench_tryon_int8_b4():
     int8-static path (ops/quant.py). Kept out of the default set because
     the calibration + int8 program compiles add ~20 min on a cold cache
     and the mode itself is opt-in; BASELINE.md carries the measurements."""
-    import jax
-    import jax.numpy as jnp
-
-    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
-
-    pipe = EdgeStylePipeline(
-        PipelineConfig(dtype="bfloat16"), attn_impl="auto", quant="int8-static"
-    )
-    params = pipe.init_params(jax.random.key(0))
-    params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
-    rng = np.random.default_rng(0)
-    B = 4
-    ids = jnp.asarray(rng.integers(1, 49000, (B, 77)), jnp.int32)
-    neg = jnp.asarray(rng.integers(1, 49000, (B, 77)), jnp.int32)
-    imgs = [jnp.asarray(rng.standard_normal((B, 512, 512, 3)), jnp.float32) * 0.1
-            for _ in range(6)]
-    dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
-                              num_inference_steps=20, guidance_scale=3.5))
-    ips = B / dt
-    return {"metric": "tryon_int8_static_b4_images_per_sec", "value": round(ips, 4),
-            "unit": "images/sec",
-            "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+    return _tryon_bench("tryon_int8_static_b4_images_per_sec", b=4,
+                        quant="int8-static")
 
 
 def bench_tryon_cached():
@@ -267,28 +236,8 @@ def bench_tryon_cached():
     cache at interval 2 (the six-branch MCN runs every 2nd step). An
     approximation of reference semantics — quality deltas live in
     BASELINE.md next to the throughput numbers."""
-    import jax
-    import jax.numpy as jnp
-
-    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
-
-    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
-    params = pipe.init_params(jax.random.key(0))
-    params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
-    rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    imgs = [jnp.asarray(rng.standard_normal((1, 512, 512, 3)), jnp.float32) * 0.1
-            for _ in range(6)]
-    dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
-                              num_inference_steps=20, guidance_scale=3.5,
-                              controlnet_cache_interval=2))
-    ips = 1.0 / dt
-    return {"metric": "tryon_cached_k2_images_per_sec", "value": round(ips, 4),
-            "unit": "images/sec",
-            "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+    return _tryon_bench("tryon_cached_k2_images_per_sec",
+                        controlnet_cache_interval=2)
 
 
 def bench_tryon_cached_stack():
@@ -297,29 +246,8 @@ def bench_tryon_cached_stack():
     interval 2 (the recommended aggressive serving mode, SSIM 0.990 in
     the random-weight harness). Quality deltas: BASELINE.md "UNet
     deep-feature cache"."""
-    import jax
-    import jax.numpy as jnp
-
-    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
-
-    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
-    params = pipe.init_params(jax.random.key(0))
-    params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
-    rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    imgs = [jnp.asarray(rng.standard_normal((1, 512, 512, 3)), jnp.float32) * 0.1
-            for _ in range(6)]
-    dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
-                              num_inference_steps=20, guidance_scale=3.5,
-                              controlnet_cache_interval=3,
-                              unet_cache_interval=2))
-    ips = 1.0 / dt
-    return {"metric": "tryon_cached_stack_cn3_unet2_images_per_sec",
-            "value": round(ips, 4), "unit": "images/sec",
-            "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+    return _tryon_bench("tryon_cached_stack_cn3_unet2_images_per_sec",
+                        controlnet_cache_interval=3, unet_cache_interval=2)
 
 
 def bench_tryon_cfg():
@@ -327,28 +255,8 @@ def bench_tryon_cfg():
     (guidance on the first 40% of steps only; later steps skip the uncond
     half and run at half batch — the guidance-interval / adaptive-guidance
     approximation). Quality deltas: BASELINE.md "CFG step window"."""
-    import jax
-    import jax.numpy as jnp
-
-    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
-
-    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
-    params = pipe.init_params(jax.random.key(0))
-    params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
-    rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    imgs = [jnp.asarray(rng.standard_normal((1, 512, 512, 3)), jnp.float32) * 0.1
-            for _ in range(6)]
-    dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
-                              num_inference_steps=20, guidance_scale=3.5,
-                              cfg_interval=(0.0, 0.4)))
-    ips = 1.0 / dt
-    return {"metric": "tryon_cfg_window_0.4_images_per_sec",
-            "value": round(ips, 4), "unit": "images/sec",
-            "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+    return _tryon_bench("tryon_cfg_window_0.4_images_per_sec",
+                        cfg_interval=(0.0, 0.4))
 
 
 def bench_tryon_fast():
@@ -357,58 +265,15 @@ def bench_tryon_fast():
     Measured 2.12x over exact at SSIM 0.9988 (BASELINE.md "CFG step
     window"); emitted by default so the serving rate is machine-visible
     round over round."""
-    import jax
-    import jax.numpy as jnp
-
-    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
-
-    pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto")
-    params = pipe.init_params(jax.random.key(0))
-    params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
-    rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    imgs = [jnp.asarray(rng.standard_normal((1, 512, 512, 3)), jnp.float32) * 0.1
-            for _ in range(6)]
-    dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
-                              num_inference_steps=20, guidance_scale=3.5,
-                              cfg_interval=(0.0, 0.4),
-                              controlnet_cache_interval=3))
-    ips = 1.0 / dt
-    return {"metric": "tryon_fast_cfg0.4_cn3_images_per_sec",
-            "value": round(ips, 4), "unit": "images/sec",
-            "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+    return _tryon_bench("tryon_fast_cfg0.4_cn3_images_per_sec",
+                        cfg_interval=(0.0, 0.4), controlnet_cache_interval=3)
 
 
 def bench_tryon_dpm():
     """Opt-in (not in --config all): the headline try-on with the
     DPM-Solver++ 2M sampler instead of UniPC (same NFE — this pins that
     the scheduler swap is perf-neutral)."""
-    import jax
-    import jax.numpy as jnp
-
-    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
-
-    pipe = EdgeStylePipeline(
-        PipelineConfig(dtype="bfloat16", scheduler="dpm++"), attn_impl="auto"
-    )
-    params = pipe.init_params(jax.random.key(0))
-    params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
-    rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    imgs = [jnp.asarray(rng.standard_normal((1, 512, 512, 3)), jnp.float32) * 0.1
-            for _ in range(6)]
-    dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
-                              num_inference_steps=20, guidance_scale=3.5))
-    ips = 1.0 / dt
-    return {"metric": "tryon_dpmpp_images_per_sec", "value": round(ips, 4),
-            "unit": "images/sec",
-            "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+    return _tryon_bench("tryon_dpmpp_images_per_sec", scheduler="dpm++")
 
 
 def bench_tryon_lcm():
@@ -416,30 +281,8 @@ def bench_tryon_lcm():
     statically off — the serving shape for LCM-LoRA distilled adapters
     (apps/distill.py; --mode lcm on tryon/serve). With random weights this
     measures SPEED only (quality requires a distilled checkpoint)."""
-    import jax
-    import jax.numpy as jnp
-
-    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
-
-    pipe = EdgeStylePipeline(
-        PipelineConfig(dtype="bfloat16", scheduler="lcm"), attn_impl="auto"
-    )
-    params = pipe.init_params(jax.random.key(0))
-    params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
-    rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-    imgs = [jnp.asarray(rng.standard_normal((1, 512, 512, 3)), jnp.float32) * 0.1
-            for _ in range(6)]
-    dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
-                              num_inference_steps=4, guidance_scale=1.0,
-                              cfg_interval=(0.0, 0.0)))
-    ips = 1.0 / dt
-    return {"metric": "tryon_lcm4_images_per_sec", "value": round(ips, 4),
-            "unit": "images/sec",
-            "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+    return _tryon_bench("tryon_lcm4_images_per_sec", scheduler="lcm",
+                        steps=4, guidance=1.0, cfg_interval=(0.0, 0.0))
 
 
 CONFIGS = {"tryon": bench_tryon, "tryon_b4": bench_tryon_b4, "vae": bench_vae,

@@ -68,7 +68,12 @@ def parse_args(argv=None):
     p.add_argument("--lora_rank", type=int, default=64)
     p.add_argument("--num_ddim_timesteps", type=int, default=50)
     p.add_argument("--w_min", type=float, default=3.0)
-    p.add_argument("--w_max", type=float, default=15.0)
+    p.add_argument("--w_max", type=float, default=None,
+                   help="upper end of the w~U[w_min,w_max] CFG range "
+                        "(consistency mode; default 15). guidance mode "
+                        "needs ONE pinned scale — the student has no w "
+                        "input — so it defaults to w_min and any other "
+                        "value is rejected")
     p.add_argument("--loss_type", type=str, default="huber",
                    choices=["huber", "l2"])
     p.add_argument("--huber_c", type=float, default=0.001)
@@ -150,7 +155,10 @@ def main(argv=None):
         lora_rank=args.lora_rank,
         num_ddim_timesteps=args.num_ddim_timesteps,
         w_min=args.w_min,
-        w_max=args.w_max,
+        # guidance mode regresses onto a single baked-in scale (the student
+        # has no w input) — an unpinned range would make the target random
+        w_max=args.w_max if args.w_max is not None
+        else (args.w_min if args.distill_mode == "guidance" else 15.0),
         loss_type=args.loss_type,
         huber_c=args.huber_c,
         ema_decay=args.ema_decay,
@@ -178,10 +186,11 @@ def main(argv=None):
     state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
     frozen = jax.tree.map(lambda x: jax.device_put(x, repl), frozen)
 
-    uncond_ctx = pipe.clip.apply(
-        {"params": frozen["clip"]},
-        jnp.asarray(empty_prompt_ids(1, pipe.cfg.clip.max_positions)),
-    )["last_hidden_state"]
+    # jitted: an eager CLIP forward on the tunneled TPU dispatches one RPC
+    # per op (~27-30 ms floor each — minutes of startup; CLAUDE.md rule)
+    uncond_ctx = jax.jit(
+        lambda p, ids: pipe.clip.apply({"params": p}, ids)["last_hidden_state"]
+    )(frozen["clip"], jnp.asarray(empty_prompt_ids(1, pipe.cfg.clip.max_positions)))
     uncond_ctx = jax.device_put(uncond_ctx, repl)
 
     step_fn = jax.jit(make_distill_step(pipe, dcfg))

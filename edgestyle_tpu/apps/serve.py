@@ -47,17 +47,19 @@ def parse_args(argv=None):
                         "head crop (reference app.py preprocess returns the "
                         "head image; --use_agnostic_images is never set in "
                         "the published recipes)")
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--steps", type=int, default=None,
+                   help="denoise steps (default 20; --mode lcm defaults "
+                        "to 4)")
     p.add_argument("--guidance", type=float, default=3.5)
     from edgestyle_tpu.apps.tryon import add_serving_mode_arg
 
     add_serving_mode_arg(p)
-    p.add_argument("--controlnet_cache_interval", type=int, default=1,
+    p.add_argument("--controlnet_cache_interval", type=int, default=None,
                    help="refresh the six-branch ControlNet residuals every "
                         "k-th denoise step and reuse them in between "
                         "(opt-in latency/quality trade, BASELINE.md; 1 = "
                         "exact reference semantics)")
-    p.add_argument("--unet_cache_interval", type=int, default=1,
+    p.add_argument("--unet_cache_interval", type=int, default=None,
                    help="recompute the UNet's deep levels every k-th denoise "
                         "step, splicing the cached deep feature back through "
                         "the high-res level in between (DeepCache-style "
@@ -72,14 +74,14 @@ def parse_args(argv=None):
                    help="explicit UNet deep-feature refresh steps (must "
                         "include 0; non-uniform --unet_cache_interval; "
                         "mutually exclusive with the interval flag)")
-    p.add_argument("--cfg_interval", type=float, nargs=2, default=(0.0, 1.0),
+    p.add_argument("--cfg_interval", type=float, nargs=2, default=None,
                    metavar=("START", "END"),
                    help="apply classifier-free guidance only inside this "
                         "step-fraction window; outside it the uncond half "
                         "is skipped (half-batch steps — opt-in "
                         "latency/quality trade, BASELINE.md; 0.0 1.0 = "
                         "exact)")
-    p.add_argument("--tome", type=float, default=0.0,
+    p.add_argument("--tome", type=float, default=None,
                    help="ToMe token-merging ratio for the UNet/ControlNet "
                         "transformer blocks (arXiv:2303.17604; opt-in "
                         "latency/quality trade, BASELINE.md; 0 = exact)")

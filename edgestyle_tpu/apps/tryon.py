@@ -49,7 +49,7 @@ def add_model_source_args(p):
                    help="JSON calibration table for EDGESTYLE_QUANT="
                         "int8-static (pipeline.save_int8_scales); skips the "
                         "first-request calibration compile")
-    p.add_argument("--scheduler", type=str, default="unipc",
+    p.add_argument("--scheduler", type=str, default=None,
                    choices=("unipc", "dpm++", "lcm"),
                    help="denoise sampler: unipc (the reference app's "
                         "choice, app.py:118), dpm++ (DPM-Solver++ 2M — "
@@ -67,7 +67,9 @@ def add_model_source_args(p):
 # Serving-mode presets (README "Serving-mode cheat sheet"): named bundles
 # of the opt-in approximation knobs, measured on v5e-1 in BASELINE.md.
 # "exact" is reference semantics. A preset only fills knobs the user left
-# at their defaults — explicit flags always win.
+# unset — explicit flags always win, even when set to the default value
+# (the knob flags parse with a None sentinel so "unset" is distinguishable
+# from "--tome 0.0").
 SERVING_MODES = {
     "exact": {},
     # 1.43x at SSIM 0.9986 (BASELINE.md "CFG step window")
@@ -93,9 +95,15 @@ _MODE_KNOB_DEFAULTS = {
 
 
 def apply_serving_mode(args):
-    """Fold ``args.mode``'s preset into the individual knob attributes,
-    leaving any knob the user set explicitly untouched (detected by
-    comparing against the argparse default object)."""
+    """Fold ``args.mode``'s preset into the individual knob attributes.
+
+    Knob flags default to ``None`` ("unset"): the preset fills only unset
+    knobs, so an explicit flag wins even when its value equals the
+    exact-semantics default (``--mode turbo --tome 0.0`` really disables
+    ToMe). Any knob still unset afterwards gets its exact-semantics
+    default, so downstream code never sees ``None``. Idempotent — a
+    second application finds every knob non-None and changes nothing.
+    """
     mode = getattr(args, "mode", None) or "exact"
     if mode not in SERVING_MODES:
         raise ValueError(
@@ -103,8 +111,11 @@ def apply_serving_mode(args):
             f"{sorted(SERVING_MODES)})"
         )
     for knob, value in SERVING_MODES[mode].items():
-        if getattr(args, knob, None) == _MODE_KNOB_DEFAULTS[knob]:
+        if getattr(args, knob, None) is None:
             setattr(args, knob, value)
+    for knob, default in _MODE_KNOB_DEFAULTS.items():
+        if hasattr(args, knob) and getattr(args, knob) is None:
+            setattr(args, knob, default)
     return args
 
 
@@ -147,15 +158,17 @@ def parse_args(argv=None):
     p.add_argument("--fused", action="store_true",
                    help="run masks+pose-render+generation as ONE XLA program "
                         "(pose keypoints still detected by the pose program)")
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--steps", type=int, default=None,
+                   help="denoise steps (default 20; --mode lcm defaults "
+                        "to 4)")
     p.add_argument("--guidance", type=float, default=3.5)
     add_serving_mode_arg(p)
-    p.add_argument("--controlnet_cache_interval", type=int, default=1,
+    p.add_argument("--controlnet_cache_interval", type=int, default=None,
                    help="refresh the six-branch ControlNet residuals every "
                         "k-th denoise step and reuse them in between "
                         "(opt-in latency/quality trade, BASELINE.md; 1 = "
                         "exact reference semantics)")
-    p.add_argument("--unet_cache_interval", type=int, default=1,
+    p.add_argument("--unet_cache_interval", type=int, default=None,
                    help="recompute the UNet's deep levels every k-th denoise "
                         "step, splicing the cached deep feature back through "
                         "the high-res level in between (DeepCache-style "
@@ -172,14 +185,14 @@ def parse_args(argv=None):
                    help="explicit UNet deep-feature refresh steps (must "
                         "include 0; non-uniform --unet_cache_interval; "
                         "mutually exclusive with the interval flag)")
-    p.add_argument("--cfg_interval", type=float, nargs=2, default=(0.0, 1.0),
+    p.add_argument("--cfg_interval", type=float, nargs=2, default=None,
                    metavar=("START", "END"),
                    help="apply classifier-free guidance only inside this "
                         "step-fraction window; outside it the uncond half "
                         "is skipped (half-batch steps — opt-in "
                         "latency/quality trade, BASELINE.md; 0.0 1.0 = "
                         "exact)")
-    p.add_argument("--tome", type=float, default=0.0,
+    p.add_argument("--tome", type=float, default=None,
                    help="ToMe token-merging ratio for the UNet/ControlNet "
                         "transformer blocks (arXiv:2303.17604; opt-in "
                         "latency/quality trade, BASELINE.md; 0 = exact)")
@@ -310,6 +323,20 @@ class TryOnSystem:
             self.gen_params = dict(
                 self.gen_params,
                 unet=jax.jit(apply_lcm_lora)(self.gen_params["unet"], adapters),
+            )
+        elif getattr(args, "scheduler", None) == "lcm":
+            # few-step LCM sampling of UNDISTILLED weights collapses
+            # quality (BASELINE.md "LCM serving shape" — speed-only);
+            # don't let a missing --lcm_lora silently serve it as normal
+            # output. Warning, not error: shape/speed tests are legitimate.
+            import warnings
+
+            warnings.warn(
+                "--scheduler lcm (or --mode lcm) without --lcm_lora: "
+                "few-step sampling of undistilled weights gives collapsed "
+                "quality; pass LCM-LoRA adapters from apps/distill.py for "
+                "real serving",
+                stacklevel=2,
             )
         if self.gen_params is not None:
             self.gen_params = jax.tree.map(
@@ -465,9 +492,13 @@ class TryOnSystem:
             stack("clothes2", to_norm), stack("clothes2_pose", to01),
         ]
         cfg = self._live_pipe.cfg
-        hw = cfg.vae.sample_size // self._live_pipe.vae_downscale
+        # latent geometry follows the conditioning images, exactly as the
+        # b=1 path's latents=None branch derives it (pipeline _generate)
+        ds = self._live_pipe.vae_downscale
+        h = imgs[0].shape[1] // ds
+        w = imgs[0].shape[2] // ds
         lat = jnp.concatenate([
-            jax.random.normal(jax.random.key(int(s)), (1, hw, hw, cfg.unet.in_channels),
+            jax.random.normal(jax.random.key(int(s)), (1, h, w, cfg.unet.in_channels),
                               jnp.float32)
             for s in seeds
         ])

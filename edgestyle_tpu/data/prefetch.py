@@ -71,9 +71,18 @@ class PrefetchIterator:
         return self
 
     def __next__(self) -> T:
-        if self._stop.is_set():
-            raise StopIteration
-        item = self._q.get()
+        # timed get + _stop recheck: an untimed get() would hang forever if
+        # close() runs from ANOTHER thread while we block on an empty queue
+        # (close drains the queue and the producer then returns without
+        # enqueuing _DONE)
+        while True:
+            if self._stop.is_set():
+                raise StopIteration
+            try:
+                item = self._q.get(timeout=0.1)
+                break
+            except queue.Empty:
+                continue
         if item is _DONE:
             self._stop.set()
             if self._err is not None:

@@ -585,8 +585,22 @@ class EdgeStylePipeline:
                     sample, t, i, use_cfg=use_cfg,
                 )
                 if not use_cfg:  # keep the carry at 2B rows
-                    d = tuple(jnp.concatenate([x, x], axis=0) for x in d)
-                    m = jnp.concatenate([m, m], axis=0)
+                    if guess_mode:
+                        # guess mode mandates ZERO uncond residuals
+                        # (reference edgestyle_pipeline.py:453-497): a
+                        # later CFG-on step reading this refresh must see
+                        # zeros in the uncond half, not duplicated
+                        # conditional rows
+                        d = tuple(
+                            jnp.concatenate([jnp.zeros_like(x), x], axis=0)
+                            for x in d
+                        )
+                        m = jnp.concatenate([jnp.zeros_like(m), m], axis=0)
+                    else:
+                        d = tuple(
+                            jnp.concatenate([x, x], axis=0) for x in d
+                        )
+                        m = jnp.concatenate([m, m], axis=0)
                 return d, m
 
             down2, mid2 = jax.lax.cond(
@@ -1058,8 +1072,16 @@ class EdgeStylePipeline:
         if num_inference_steps < 1:
             raise ValueError("num_inference_steps must be >= 1")
         if latents is not None:
-            hw = cfg.vae.sample_size // self.vae_downscale
-            want = (b, hw, hw, cfg.unet.in_channels)
+            # explicit latents must match the geometry _generate would
+            # derive: the conditioning images' resolution when given
+            # (reference prepare_latents follows the inputs), else the
+            # config default
+            if cond_images:
+                h = cond_images[0].shape[1] // self.vae_downscale
+                w = cond_images[0].shape[2] // self.vae_downscale
+            else:
+                h = w = cfg.vae.sample_size // self.vae_downscale
+            want = (b, h, w, cfg.unet.in_channels)
             if tuple(latents.shape) != want:
                 raise ValueError(f"latents must be {want}, got {tuple(latents.shape)}")
 

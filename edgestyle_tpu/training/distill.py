@@ -368,6 +368,15 @@ def make_distill_step(pipe: EdgeStylePipeline, cfg: DistillConfig, sched=None):
     param set plus 'static' (the openpose branch params) and 'controlnet'
     (the full trained branch set)."""
     sched = sched or NoiseSchedule.sd15()
+    if cfg.mode == "guidance" and cfg.w_min != cfg.w_max:
+        # the guidance student has no w input: a random w~U[w_min,w_max]
+        # gives the same (z, t, cond) a different regression target every
+        # draw — irreducible target variance, silently degraded adapters.
+        # One scale must be pinned (apps/distill.py defaults w_max=w_min).
+        raise ValueError(
+            "mode='guidance' needs a pinned CFG scale (w_min == w_max); "
+            f"got w_min={cfg.w_min}, w_max={cfg.w_max}"
+        )
     opt = make_distill_optimizer(cfg)
     grad_fn = jax.grad(distill_loss_fn, has_aux=True)
 

@@ -315,9 +315,19 @@ def test_guidance_mode_descends_fixed_objective(distill_setup, rng):
     assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
 
 
+def test_guidance_mode_requires_pinned_w(distill_setup):
+    """The guidance student has no w input — an unpinned w range makes the
+    regression target random, so make_distill_step must reject it."""
+    pipe, _, _ = distill_setup
+    cfg = DistillConfig(mode="guidance", lora_rank=4, w_min=3.0, w_max=15.0)
+    with pytest.raises(ValueError, match="pinned CFG scale"):
+        make_distill_step(pipe, cfg)
+
+
 def test_guidance_mode_lora_only_and_finite(distill_setup, rng):
     pipe, params, frozen = distill_setup
-    cfg = DistillConfig(mode="guidance", lora_rank=4, grad_accum=2)
+    cfg = DistillConfig(mode="guidance", lora_rank=4, grad_accum=2,
+                        w_min=6.5, w_max=6.5)
     state = init_distill_state(pipe, jax.random.key(1), params["unet"], cfg)
     uncond_ctx = pipe.clip.apply(
         {"params": params["clip"]}, jnp.zeros((1, 7), jnp.int32)

@@ -446,6 +446,68 @@ def test_controlnet_cache_guess_mode_runs(pipe_and_params, rng):
     assert not np.array_equal(o, np.asarray(base))
 
 
+def test_guess_mode_cache_refresh_in_cfg_off_window_keeps_zero_uncond(
+    pipe_and_params, rng
+):
+    """A ControlNet-cache refresh during a CFG-off step must store ZEROS in
+    the uncond half under guess mode, so later CFG-on steps keep the
+    reference's zero-uncond-residual contract (edgestyle_pipeline.py:453-497)
+    instead of consuming duplicated conditional rows. Pinned against a
+    host loop: refresh only at step 0 (off-window), steps 2-3 CFG-on read
+    that refresh."""
+    pipe, params = pipe_and_params
+    params = _bump_heads(params)
+    ids, neg, imgs = _inputs(rng)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    steps = 4
+    got = pipe(params, ids, neg, imgs, latents=lat, num_inference_steps=steps,
+               guidance_scale=3.5, guess_mode=True, cfg_interval=(0.5, 1.0),
+               controlnet_cache_steps=(0,), return_latents=True)
+
+    context = pipe.encode_prompt(params, ids, neg)
+    embs = pipe.embed_cond_images(params, imgs)
+    plan = pipe.scheduler.plan(steps)
+    scales = pipe._step_scales(steps, None, 0.0, 1.0)
+    g = jnp.float32(3.5)
+    state = pipe.scheduler.init_state(lat.shape, lat.dtype)
+    sample = lat
+    cached = None
+    for i in range(steps):
+        t = plan.timesteps[i]
+        t1 = jnp.broadcast_to(t, (1,))
+        if i == 0:  # the only refresh: cond-only rows (off-window step)
+            cached = pipe.mcn(params["controlnet"], sample, t1, context[1:],
+                              embs, scales[i], guess_mode=True)
+        down_c, mid_c = cached
+        cfg_on = (i / steps >= 0.5) and ((i + 1) / steps <= 1.0)
+        if cfg_on:
+            # guess mode: uncond half of the residuals is ZERO
+            down = tuple(
+                jnp.concatenate([jnp.zeros_like(d), d], axis=0)
+                for d in down_c
+            )
+            mid = jnp.concatenate([jnp.zeros_like(mid_c), mid_c], axis=0)
+            x2 = jnp.concatenate([sample, sample], axis=0)
+            t2 = jnp.broadcast_to(t, (2,))
+            noise = pipe.unet.apply(
+                {"params": params["unet"]}, x2, t2, context,
+                down_block_additional_residuals=down,
+                mid_block_additional_residual=mid,
+            )
+            un, cd = jnp.split(noise, 2, axis=0)
+            out = un + g * (cd - un)
+        else:
+            out = pipe.unet.apply(
+                {"params": params["unet"]}, sample, t1, context[1:],
+                down_block_additional_residuals=down_c,
+                mid_block_additional_residual=mid_c,
+            ).astype(jnp.float32)
+        sample, state = pipe.scheduler.step(plan, i, out, sample, state)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(sample), rtol=1e-4, atol=5e-4
+    )
+
+
 def test_generate_tp_matches_single_device(pipe_and_params, rng):
     """Tensor-parallel generation: attention/FF kernels sharded over the
     `model` axis (DPxTP 2x2 mesh) must reproduce the single-device images
