@@ -19,6 +19,9 @@ readback is required (see utils/profiling.timeit).
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -285,15 +288,24 @@ def bench_tryon_lcm():
                         steps=4, guidance=1.0, cfg_interval=(0.0, 0.0))
 
 
-CONFIGS = {"tryon": bench_tryon, "tryon_b4": bench_tryon_b4, "vae": bench_vae,
-           "sam": bench_sam, "unet_cn": bench_unet_cn, "train": bench_train,
-           "fused": bench_fused,
-           # the recommended aggressive serving mode (opt-in knobs:
-           # cfg window 0.4 + ControlNet-residual cache k=3; 2.12x over
-           # exact at SSIM 0.9988, BASELINE.md "CFG step window") — emitted
-           # by default so the serving number is machine-visible round over
-           # round; the exact-semantics headline stays the FIRST line
+# Order matters: the exact-semantics headline FIRST (a driver timeout must
+# keep it), then the CHEAP regression signals (vae/sam/unet_cn/train — the
+# r3 driver timeout ate exactly these when they were queued last), then the
+# expensive variants. tryon_fast is the recommended aggressive serving mode
+# (cfg window 0.4 + ControlNet-residual cache k=3; 2.12x over exact at SSIM
+# 0.9988, BASELINE.md "CFG step window").
+CONFIGS = {"tryon": bench_tryon, "vae": bench_vae, "sam": bench_sam,
+           "unet_cn": bench_unet_cn, "train": bench_train,
+           "tryon_b4": bench_tryon_b4, "fused": bench_fused,
            "tryon_fast": bench_tryon_fast}
+# Per-config wall-clock caps (seconds) for the subprocess watchdog in "all"
+# mode. Sized for a WARM persistent compile cache (~/.cache/jax_comp_cache —
+# every entry point populates it) with generous headroom for tunnel
+# variance; a cold full-pipeline compile is ~8 min, so first-ever runs may
+# trip these — rerun once the cache is warm.
+CONFIG_TIMEOUTS = {"tryon": 900, "vae": 300, "sam": 300, "unet_cn": 420,
+                   "train": 900, "tryon_b4": 900, "fused": 1200,
+                   "tryon_fast": 900}
 # runnable by name but excluded from --config all (opt-in feature; heavy
 # extra compiles)
 OPTIONAL_CONFIGS = {"tryon_int8_b4": bench_tryon_int8_b4,
@@ -304,33 +316,88 @@ OPTIONAL_CONFIGS = {"tryon_int8_b4": bench_tryon_int8_b4,
                     "tryon_lcm": bench_tryon_lcm}
 
 
-def main():
+def _run_one_inprocess(name):
+    """Run one config in THIS process and print its JSON line."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    runnable = {**CONFIGS, **OPTIONAL_CONFIGS}
+    try:
+        line = json.dumps(runnable[name]())
+    except Exception as e:  # noqa: BLE001
+        line = json.dumps({"metric": name, "error": f"{type(e).__name__}: {e}"})
+    print(line, flush=True)
+    return line
 
+
+def _run_all(budget_s):
+    """Watchdogged "all" mode: each config runs in its OWN subprocess with a
+    wall-clock cap, so a tunnel wedge or runaway compile in one config can
+    never eat the lines behind it (the r3 failure mode — BENCH_r03 rc:124
+    lost 6 of 8 configs). A global budget bounds the whole run; configs that
+    would not fit emit explicit error lines instead of silently vanishing.
+    The headline line is re-emitted LAST because the driver's `parsed` field
+    records the final line."""
+    deadline = time.monotonic() + budget_s
+    lines = {}
+    for n in CONFIGS:
+        remaining = deadline - time.monotonic()
+        cap = CONFIG_TIMEOUTS.get(n, 600)
+        if remaining < min(cap, 120):
+            line = json.dumps(
+                {"metric": n, "error": f"skipped: global budget {budget_s}s exhausted"})
+            print(line, flush=True)
+            continue
+        cap = min(cap, int(remaining))
+        t0 = time.monotonic()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--config", n],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                stdin=subprocess.DEVNULL, timeout=cap, text=True,
+            )
+            out = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+            if out:
+                for ln in out:
+                    print(ln, flush=True)
+                lines[n] = out[-1]
+            else:
+                print(json.dumps({"metric": n,
+                                  "error": f"no output (rc {proc.returncode})"}),
+                      flush=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps(
+                {"metric": n,
+                 "error": f"timeout after {int(time.monotonic() - t0)}s (cap {cap}s)"}),
+                flush=True)
+    # the driver's parsed field takes the LAST line — make it the headline
+    if "tryon" in lines:
+        print(lines["tryon"], flush=True)
+
+
+def main():
     ap = argparse.ArgumentParser()
     # default "all": the driver's BENCH_r{N}.json should carry every config
     # (VERDICT r2 item 5) so VAE/SAM/train regressions are machine-visible;
-    # the headline try-on metric stays the FIRST line emitted.
+    # the headline try-on metric stays the FIRST line emitted (and is
+    # repeated as the last line for the driver's parsed field).
     ap.add_argument(
         "--config",
         choices=list(CONFIGS) + list(OPTIONAL_CONFIGS) + ["all"],
         default="all",
     )
+    ap.add_argument(
+        "--budget", type=float,
+        default=float(os.environ.get("EDGESTYLE_BENCH_BUDGET", 1500)),
+        help="global wall-clock budget (s) for --config all",
+    )
     args = ap.parse_args()
-    names = list(CONFIGS) if args.config == "all" else [args.config]
-    runnable = {**CONFIGS, **OPTIONAL_CONFIGS}
-    for n in names:
-        # one config failing (e.g. a tunnel wedge) must not lose the rest;
-        # lines flush as they complete so a timeout still keeps the
-        # headline metric (emitted first)
-        try:
-            print(json.dumps(runnable[n]()), flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"metric": n, "error": f"{type(e).__name__}: {e}"}),
-                  flush=True)
+    if args.config == "all":
+        _run_all(args.budget)
+    else:
+        _run_one_inprocess(args.config)
 
 
 if __name__ == "__main__":

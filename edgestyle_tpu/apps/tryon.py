@@ -161,7 +161,11 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=None,
                    help="denoise steps (default 20; --mode lcm defaults "
                         "to 4)")
-    p.add_argument("--guidance", type=float, default=3.5)
+    p.add_argument("--guidance", type=float, default=3.5,
+                   help="classifier-free guidance scale (inert when the "
+                        "CFG window is empty — --mode lcm sets "
+                        "cfg_interval (0,0), which statically removes "
+                        "guidance from the program)")
     add_serving_mode_arg(p)
     p.add_argument("--controlnet_cache_interval", type=int, default=None,
                    help="refresh the six-branch ControlNet residuals every "
@@ -253,6 +257,7 @@ class TryOnSystem:
         if getattr(args, "int8_scales", None):
             self._live_pipe.load_int8_scales(args.int8_scales)
         self._set_serving_knobs(args)
+        _exported = getattr(args, "exported_dir", None)
         if (
             self.cache_interval > 1
             or self.unet_cache_interval > 1
@@ -260,14 +265,24 @@ class TryOnSystem:
             or self.unet_cache_steps is not None
             or self.cfg_interval != (0.0, 1.0)
             or self._live_pipe.tome is not None
-        ) and getattr(args, "exported_dir", None):
-            raise ValueError(
-                "--controlnet_cache_interval / --unet_cache_interval > 1, "
-                "--controlnet_cache_steps / --unet_cache_steps, "
-                "--cfg_interval and --tome need the live pipeline: the "
-                "artifact path (--exported_dir) runs the denoise step as a "
-                "fixed serialized graph"
-            )
+        ) and _exported:
+            import os as _os
+
+            from edgestyle_tpu.pipelines.artifact import GENERATE_GRAPH
+
+            # a ONE-PROGRAM artifact (apps/export.py --what generate) bakes
+            # the serving knobs into the graph — ArtifactPipeline validates
+            # the requested knobs against its serving.json at call time.
+            # Only the per-stage host-loop artifact is knob-less.
+            if not _os.path.exists(_os.path.join(_exported, GENERATE_GRAPH)):
+                raise ValueError(
+                    "--controlnet_cache_interval / --unet_cache_interval "
+                    "> 1, --controlnet_cache_steps / --unet_cache_steps, "
+                    "--cfg_interval and --tome need the live pipeline or a "
+                    "one-program artifact (apps/export.py --what generate "
+                    "--mode ...): the per-stage artifact path runs the "
+                    "denoise step as a fixed exact-semantics graph"
+                )
         if getattr(args, "exported_dir", None):
             from edgestyle_tpu.pipelines.artifact import ArtifactPipeline
 

@@ -77,6 +77,11 @@ class PrefetchIterator:
         # enqueuing _DONE)
         while True:
             if self._stop.is_set():
+                # close() may have drained the _DONE sentinel before we saw
+                # it — surface a stored producer error instead of silently
+                # ending the stream
+                if self._err is not None:
+                    raise self._err
                 raise StopIteration
             try:
                 item = self._q.get(timeout=0.1)

@@ -123,8 +123,63 @@ def conv_probe(b=32, hw=64, c=320, k=3):
     )
 
 
+def attn_probe(bh=16, s=4096, d=128):
+    """Attention-shaped matmul pair (QK^T then PV) at the pipeline's
+    largest self-attention geometry (64x64 tokens, head dim padded to 128
+    lanes like ops/flash.py does). The int8-vs-bf16 ratio here bounds what
+    an int8 flash-attention kernel could win on the MXU portion of the
+    25%-of-device-time attention category (VERDICT r3 item 5)."""
+    flops = 2.0 * bh * s * s * d * 2 * L
+
+    @jax.jit
+    def bf16(seed):
+        key = jax.random.key(seed)
+        q = jax.random.normal(key, (bh, s, d), jnp.bfloat16)
+        k = jax.random.normal(key, (bh, s, d), jnp.bfloat16)
+        v = jax.random.normal(key, (bh, s, d), jnp.bfloat16)
+
+        def body(c, _):
+            p = jnp.einsum("bsd,btd->bst", q + c[:, :1], k)
+            o = jnp.einsum("bst,btd->bsd", p, v) * 1e-4
+            return o.astype(jnp.bfloat16), ()
+
+        o, _ = lax.scan(body, jnp.zeros((bh, s, d), jnp.bfloat16), None, length=L)
+        return o[0, 0, 0]
+
+    t16 = timeit(bf16, 0, iters=5)
+
+    @jax.jit
+    def int8(seed):
+        key = jax.random.key(seed)
+        q = jax.random.randint(key, (bh, s, d), -127, 128, jnp.int8)
+        k = jax.random.randint(key, (bh, s, d), -127, 128, jnp.int8)
+        v = jax.random.randint(key, (bh, s, d), -127, 128, jnp.int8)
+
+        def body(c, _):
+            p = jnp.einsum("bsd,btd->bst", q + c[:, :1], k,
+                           preferred_element_type=jnp.int32)
+            p8 = (p >> 8).astype(jnp.int8)  # the requant a real kernel pays
+            o = jnp.einsum("bst,btd->bsd", p8, v,
+                           preferred_element_type=jnp.int32)
+            return (o >> 16).astype(jnp.int8), ()
+
+        o, _ = lax.scan(body, jnp.zeros((bh, s, d), jnp.int8), None, length=L)
+        return o[0, 0, 0]
+
+    t8 = timeit(int8, 0, iters=5)
+    print(
+        f"attn bh{bh} s{s} d{d} x{L}: "
+        f"bf16 {t16*1e3:.1f} ms ({flops/t16/1e12:.1f} TF/s)  "
+        f"int8 {t8*1e3:.1f} ms ({flops/t8/1e12:.1f} TOP/s)  "
+        f"speedup {t16/t8:.2f}x",
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     print(jax.default_backend(), jax.devices(), flush=True)
     matmul_probe()
     conv_probe()
     conv_probe(b=32, hw=32, c=640)
+    attn_probe()
+    attn_probe(bh=16, s=1024, d=128)

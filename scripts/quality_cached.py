@@ -90,15 +90,32 @@ def main():
                     help="sampler for the approximate side only (defaults "
                          "to --scheduler; pair with --approx_steps for "
                          "sampler-vs-sampler low-NFE comparisons)")
+    ap.add_argument("--trained", type=str, default=None,
+                    help="STEERING trainable set from scripts/steer_train.py "
+                         "(msgpack): replaces the random-init+bumped-heads "
+                         "weights AND switches conditioning to the synth "
+                         "distribution those weights were trained on — the "
+                         "quality columns then measure deltas on a model "
+                         "whose output measurably follows the conditioning "
+                         "(VERDICT r3 item 3)")
     args = ap.parse_args()
     cfg_iv = (float(args.cfg_interval[0]), float(args.cfg_interval[1]))
     print(jax.default_backend(), jax.devices(), flush=True)
 
     b = args.batch
     g = np.random.default_rng(0)
-    ids = jnp.asarray(g.integers(1, 49000, (b, 77)), jnp.int32)
-    neg = jnp.asarray(g.integers(1, 49000, (b, 77)), jnp.int32)
-    imgs = structured_images(g, b, args.px)
+    if args.trained:
+        # in-distribution conditioning for the steering weights
+        from steer_train import cond_list, synth_batch
+
+        sb = synth_batch(np.random.default_rng(5), b, args.px)
+        ids = sb["input_ids"]
+        neg = jnp.zeros_like(ids)
+        imgs = cond_list(sb)
+    else:
+        ids = jnp.asarray(g.integers(1, 49000, (b, 77)), jnp.int32)
+        neg = jnp.asarray(g.integers(1, 49000, (b, 77)), jnp.int32)
+        imgs = structured_images(g, b, args.px)
 
     pcfg = PipelineConfig(dtype="bfloat16", scheduler=args.scheduler)
     pipe = EdgeStylePipeline(pcfg, attn_impl="auto")
@@ -119,18 +136,36 @@ def main():
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         params,
     )
-    # give the zero-init controlnet heads weight so residuals are nonzero
-    # and the cache actually changes the trajectory
-    bump = lambda tree: jax.tree.map(lambda p: p + jnp.asarray(0.01, p.dtype), tree)
-    params = dict(params)
-    params["controlnet"] = {
-        k: (
-            {kk: (bump(vv) if kk.startswith("controlnet_") else vv)
-             for kk, vv in v.items()}
-            if k != "fusion" else v
+    if args.trained:
+        # steering weights: trained heads/LoRA/fusion replace the bump
+        import flax.serialization as fser
+
+        from edgestyle_tpu.training.train_step import init_trainable
+        from edgestyle_tpu.training.validation import assemble_inference_params
+
+        template = init_trainable(pipe, jax.random.key(1), params["unet"])
+        with open(args.trained, "rb") as f:
+            trainable = fser.from_bytes(template, f.read())
+        trainable = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.bfloat16), trainable
         )
-        for k, v in params["controlnet"].items()
-    }
+        frozen = {"vae": params["vae"], "clip": params["clip"],
+                  "unet": params["unet"],
+                  "static": params["controlnet"]["static"]}
+        params = assemble_inference_params(frozen, trainable)
+    else:
+        # give the zero-init controlnet heads weight so residuals are
+        # nonzero and the cache actually changes the trajectory
+        bump = lambda tree: jax.tree.map(lambda p: p + jnp.asarray(0.01, p.dtype), tree)
+        params = dict(params)
+        params["controlnet"] = {
+            k: (
+                {kk: (bump(vv) if kk.startswith("controlnet_") else vv)
+                 for kk, vv in v.items()}
+                if k != "fusion" else v
+            )
+            for k, v in params["controlnet"].items()
+        }
 
     def run(k=1, ku=1, p=None, cn_steps=None, unet_steps=None,
             n_steps=None):
@@ -166,6 +201,7 @@ def main():
             "cfg_interval": list(cfg_iv),
             "tome": args.tome,
             "quant": args.quant,
+            "trained": bool(args.trained),
             "exact_img_s": round(b / t1, 4),
             "cached_img_s": round(b / tk, 4),
             "cached_speedup": round(t1 / tk, 3),

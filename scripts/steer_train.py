@@ -1,0 +1,220 @@
+"""Produce STEERING weights for the serving-quality tables (VERDICT r3
+item 3 / "weak" 2).
+
+Every r3 serving-lever quality table (ControlNet-residual cache k,
+non-uniform refresh schedules, CFG-window end, ToMe) was measured on
+random-init weights whose zero-init ControlNet heads mean conditioning
+barely steers the output — the SSIM deltas sat at the bf16 noise floor
+(BASELINE.md caveats). This script retires that floor offline:
+
+1. Synthesize a STRUCTURED conditioning→target mapping at full 512px:
+   each example draws clothes colors + a subject position; the clothes /
+   pose / head conditioning images render those draws, and the target
+   image is a deterministic composite of them (the model can only fit it
+   BY USING the conditioning).
+2. Run the real ControlLoRA trainer (training/train_step.py — Prodigy,
+   Min-SNR, the reference recipe's trainable set) for --steps steps.
+3. VERIFY THE STEER: generate with conditioning set A vs set B under the
+   same seed; report 1-SSIM between them before (expected ≈0: zero-init
+   heads make conditioning inert) and after training (must clear
+   --steer_threshold for the weights to be accepted).
+4. Save the trainable set (msgpack via flax.serialization) for
+   scripts/quality_cached.py --trained, which re-measures the quality
+   tables against THIS model's exact output.
+
+Run on the TPU (few minutes of device time): ``python scripts/steer_train.py
+--out steer_trainable.msgpack`` from the repo root.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline, PipelineConfig
+from edgestyle_tpu.training.train_step import (
+    TrainConfig,
+    init_trainable,
+    make_optimizer,
+    make_train_step,
+)
+from edgestyle_tpu.training.validation import assemble_inference_params
+from edgestyle_tpu.utils.metrics import ssim
+
+
+def _rect(img, cy, cx, h, w, color):
+    y0, y1 = max(cy - h // 2, 0), min(cy + h // 2, img.shape[0])
+    x0, x1 = max(cx - w // 2, 0), min(cx + w // 2, img.shape[1])
+    img[y0:y1, x0:x1] = color
+    return img
+
+
+def synth_example(g, px=512):
+    """One structured example: conditioning images + the composite target.
+
+    Draws: torso color c1, legs color c2, subject center (cy, cx). The
+    target is fully determined by the draws, and every draw is visible
+    ONLY through a conditioning image — so a model that ignores the
+    conditioning cannot beat predicting the mean."""
+    c1 = g.random(3).astype(np.float32) * 0.8 + 0.1
+    c2 = g.random(3).astype(np.float32) * 0.8 + 0.1
+    cy = int(g.integers(px // 3, 2 * px // 3))
+    cx = int(g.integers(px // 3, 2 * px // 3))
+    gray = np.full((px, px, 3), 0.5, np.float32)
+
+    def on_gray():
+        return gray.copy()
+
+    # clothes crops: the garment on gray bg, CENTERED (reference crops)
+    clothes = _rect(on_gray(), px // 2, px // 2, px // 3, px // 4, c1)
+    clothes2 = _rect(on_gray(), px // 2, px // 2, px // 3, px // 4, c2)
+    # pose skeleton: white cross at the subject position on black
+    pose = np.zeros((px, px, 3), np.float32)
+    pose[max(cy - px // 6, 0):cy + px // 6, cx - 4:cx + 4] = 1.0
+    pose[cy - 4:cy + 4, max(cx - px // 8, 0):cx + px // 8] = 1.0
+    # clothes poses: same cross, centered (garment frame)
+    pose_c = np.zeros((px, px, 3), np.float32)
+    pose_c[px // 3:2 * px // 3, px // 2 - 4:px // 2 + 4] = 1.0
+    # head crop: skin-tone disc above the subject position
+    head = _rect(on_gray(), max(cy - px // 4, px // 16), cx, px // 10,
+                 px // 10, np.array([0.9, 0.7, 0.6], np.float32))
+    # target: torso rect in c1 at (cy, cx), legs rect in c2 below, head disc
+    tgt = on_gray()
+    tgt = _rect(tgt, cy, cx, px // 3, px // 4, c1)
+    tgt = _rect(tgt, min(cy + px // 3, px - 1), cx, px // 4, px // 5, c2)
+    tgt = _rect(tgt, max(cy - px // 4, px // 16), cx, px // 10, px // 10,
+                np.array([0.9, 0.7, 0.6], np.float32))
+    return {
+        "original": tgt, "agnostic": head, "head": head,
+        "clothes": clothes, "clothes2": clothes2,
+        "original_openpose": pose, "clothes_openpose": pose_c,
+        "clothes_openpose2": pose_c,
+    }
+
+
+def synth_batch(g, n, px=512, vocab=49000):
+    exs = [synth_example(g, px) for _ in range(n)]
+    out = {}
+    for k in exs[0]:
+        a = np.stack([e[k] for e in exs])
+        if "openpose" not in k:
+            a = a * 2.0 - 1.0  # VAE input range
+        out[k] = jnp.asarray(a, jnp.float32)
+    # fixed short prompt (text must not carry the signal)
+    out["input_ids"] = jnp.asarray(
+        np.full((n, 77), 42, np.int64), jnp.int32
+    )
+    return out
+
+
+def cond_list(batch, jnp=jnp):
+    """Pipeline cond_images order [head, pose, clothes, pose_c, clothes2,
+    pose_c2] from a synth batch (VAE branches already in [-1, 1])."""
+    return [
+        batch["head"], batch["original_openpose"], batch["clothes"],
+        batch["clothes_openpose"], batch["clothes2"],
+        batch["clothes_openpose2"],
+    ]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--mb", type=int, default=2, help="microbatch (recipe bs2)")
+    ap.add_argument("--px", type=int, default=512)
+    ap.add_argument("--lora_rank", type=int, default=32)
+    ap.add_argument("--out", type=str, default="steer_trainable.msgpack")
+    ap.add_argument("--steer_threshold", type=float, default=0.02,
+                    help="min (1 - SSIM) between different-conditioning "
+                         "generations for the weights to count as steering")
+    ap.add_argument("--eval_steps", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log_every", type=int, default=50)
+    args = ap.parse_args()
+    t0 = time.time()
+    print(jax.default_backend(), jax.devices(), flush=True)
+
+    pcfg = PipelineConfig(dtype="bfloat16")
+    pipe = EdgeStylePipeline(pcfg, attn_impl="auto")
+    params = pipe.init_params(jax.random.key(0))
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params,
+    )
+    frozen = {"vae": params["vae"], "clip": params["clip"],
+              "unet": params["unet"], "static": params["controlnet"]["static"]}
+
+    tcfg = TrainConfig(grad_accum=1)
+    trainable = init_trainable(pipe, jax.random.key(1), params["unet"],
+                               args.lora_rank)
+    state = {"trainable": trainable,
+             "opt_state": make_optimizer(tcfg).init(trainable),
+             "step": jnp.zeros([], jnp.int32)}
+    step = jax.jit(make_train_step(pipe, tcfg))
+
+    g = np.random.default_rng(args.seed)
+    ge = np.random.default_rng(args.seed + 1)
+    conds_a = synth_batch(ge, 1, args.px)
+    conds_b = synth_batch(ge, 1, args.px)
+    ids = conds_a["input_ids"]
+
+    neg = jnp.zeros_like(ids)  # uncond ≠ cond so CFG is a real lever
+
+    def gen(trainable, conds, seed=7):
+        p = assemble_inference_params(frozen, jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), trainable))
+        return pipe(p, ids, neg, cond_list(conds), rng=jax.random.key(seed),
+                    num_inference_steps=args.eval_steps, guidance_scale=3.5)
+
+    def steer(trainable):
+        a = np.asarray(gen(trainable, conds_a), np.float32)
+        b = np.asarray(gen(trainable, conds_b), np.float32)
+        return 1.0 - float(jnp.mean(ssim(jnp.asarray(a), jnp.asarray(b))))
+
+    s0 = steer(state["trainable"])
+    print(json.dumps({"step": 0, "steer_1mssim": round(s0, 5)}), flush=True)
+
+    losses = []
+    for i in range(1, args.steps + 1):
+        batch = jax.tree.map(lambda x: x[None], synth_batch(g, args.mb, args.px))
+        state, m = step(state, frozen, batch, jax.random.key(1000 + i))
+        losses.append(float(m["loss"]))
+        if i % args.log_every == 0:
+            print(json.dumps({
+                "step": i, "loss": round(float(np.mean(losses[-args.log_every:])), 5),
+                "d": float(m["d"]),
+            }), flush=True)
+
+    s1 = steer(state["trainable"])
+    ok = s1 >= args.steer_threshold
+    if ok:
+        import flax.serialization as fser
+
+        tr32 = jax.tree.map(lambda x: np.asarray(x, np.float32),
+                            state["trainable"])
+        with open(args.out, "wb") as f:
+            f.write(fser.to_bytes(tr32))
+    print(json.dumps({
+        "summary": "steer_train", "steps": args.steps, "px": args.px,
+        "loss_first50": round(float(np.mean(losses[:50])), 5),
+        "loss_last50": round(float(np.mean(losses[-50:])), 5),
+        "steer_before": round(s0, 5), "steer_after": round(s1, 5),
+        "steer_threshold": args.steer_threshold, "accepted": ok,
+        "out": args.out if ok else None,
+        "wall_s": round(time.time() - t0, 1),
+    }), flush=True)
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

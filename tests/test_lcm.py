@@ -363,3 +363,36 @@ def test_distill_mode_cli():
 
     a = parse_args(["--random_init", "--distill_mode", "guidance"])
     assert a.distill_mode == "guidance"
+
+
+def test_distill_step_data_parallel_matches_single(distill_setup, rng):
+    """VERDICT r3 item 6: shard-verify the distillation trainer the same
+    way the ControlLoRA trainer is — identical jitted step, batch rows
+    sharded over the mesh 'data' axis, params/uncond_ctx replicated,
+    results ≡ single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from edgestyle_tpu.core.mesh import DATA_AXIS, MeshSpec, make_mesh
+
+    pipe, params, frozen = distill_setup
+    cfg = DistillConfig(lora_rank=4, grad_accum=1)
+    state = init_distill_state(pipe, jax.random.key(1), params["unet"], cfg)
+    uncond_ctx = pipe.clip.apply(
+        {"params": params["clip"]}, jnp.zeros((1, 7), jnp.int32)
+    )["last_hidden_state"]
+    step = jax.jit(make_distill_step(pipe, cfg))
+    batch = _batch(rng, ga=1, b=8)
+
+    mesh = make_mesh(MeshSpec(data=8))
+    shard = NamedSharding(mesh, P(None, DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    batch_s = jax.tree.map(lambda x: jax.device_put(x, shard), batch)
+    state_r = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+    frozen_r = jax.tree.map(lambda x: jax.device_put(x, repl), frozen)
+    uc_r = jax.device_put(uncond_ctx, repl)
+
+    s1, m1 = step(state, frozen, batch, uncond_ctx, jax.random.key(42))
+    s2, m2 = step(state_r, frozen_r, batch_s, uc_r, jax.random.key(42))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(s1["lcm_lora"]), jax.tree.leaves(s2["lcm_lora"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
