@@ -85,14 +85,93 @@ def parse_args(argv=None):
                         "guidance — same count as the teacher, CFG off)")
     p.add_argument("--ema_decay", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pretrain_teacher_steps", type=int, default=0,
+                   help="pretrain the FULL tiny UNet for N steps on a "
+                        "text-conditioned synthetic denoising task with "
+                        "empty-prompt dropout before distilling. A "
+                        "random-init teacher's CFG delta (pure text "
+                        "response, amplified by w) is a chaotic feature "
+                        "map with no learnable low-rank structure — "
+                        "guidance distillation against it measures FLAT "
+                        "(r4 runs at lr 1e-3 and 1e-2: loss pinned at its "
+                        "mean, SSIM declining). Distillation's operating "
+                        "regime is a TRAINED teacher; this flag "
+                        "reconstructs that regime offline.")
     return p.parse_args(argv)
+
+
+def pretrain_teacher(pipe, params, steps, batch=8, seed=0):
+    """Train the tiny UNet so its text response is structured: per-example
+    latent x0 patterns are a deterministic function of the first prompt
+    tokens, and 30% of examples train with the EMPTY prompt (the
+    reference's empty-prompt augmentation) so the cond/uncond difference —
+    the CFG delta the guidance student must regress — carries real,
+    learnable signal instead of random-feature noise."""
+    import optax
+
+    from edgestyle_tpu.schedulers.ddpm import NoiseSchedule, add_noise
+
+    sched = NoiseSchedule.sd15()
+    hw = pipe.cfg.vae.sample_size // pipe.vae_downscale
+    vocab = pipe.cfg.clip.vocab_size
+    opt = optax.adamw(1e-3)
+    up = params["unet"]
+    ostate = opt.init(up)
+    clip_p = params["clip"]
+
+    yy, xx = np.mgrid[0:hw, 0:hw].astype(np.float32) / max(hw - 1, 1)
+    basis = jnp.asarray(
+        np.stack([yy, xx, yy * xx, (1 - yy) * (1 - xx)]), jnp.float32
+    )  # (4, hw, hw) smooth spatial basis
+
+    def x0_from_ids(ids):
+        # coefficients from the first 4 tokens → (b, 4) in [-1, 1]
+        coef = (ids[:, :4].astype(jnp.float32) / vocab) * 2.0 - 1.0
+        # (b, hw, hw, 4): channel c = coef[c] * basis[c]
+        return jnp.einsum("bc,chw->bhwc", coef, basis) * 2.0
+
+    @jax.jit
+    def pre_step(up, ostate, ids, key):
+        r1, r2, r3 = jax.random.split(key, 3)
+        drop = jax.random.uniform(r3, (ids.shape[0], 1)) < 0.3
+        ids_in = jnp.where(drop, jnp.zeros_like(ids), ids)
+        ctx = pipe.clip.apply({"params": clip_p}, ids_in)["last_hidden_state"]
+        x0 = x0_from_ids(ids)
+        noise = jax.random.normal(r1, x0.shape, jnp.float32)
+        t = jax.random.randint(r2, (ids.shape[0],), 0,
+                               sched.num_train_timesteps)
+        noisy = add_noise(sched, x0, noise, t)
+
+        def loss_fn(up):
+            pred = pipe.unet.apply({"params": up}, noisy, t, ctx)
+            return jnp.mean(jnp.square(pred.astype(jnp.float32) - noise))
+
+        loss, grads = jax.value_and_grad(loss_fn)(up)
+        updates, ostate2 = opt.update(grads, ostate, up)
+        return optax.apply_updates(up, updates), ostate2, loss
+
+    g = np.random.default_rng(seed + 7)
+    losses = []
+    for i in range(steps):
+        ids = jnp.asarray(g.integers(1, vocab, (batch, 7)), jnp.int32)
+        up, ostate, loss = pre_step(up, ostate, ids, jax.random.key(i))
+        losses.append(float(loss))
+    print(json.dumps({
+        "pretrain_teacher": steps,
+        "loss_first50": round(float(np.mean(losses[:50])), 4),
+        "loss_last50": round(float(np.mean(losses[-50:])), 4),
+    }), file=sys.stderr, flush=True)
+    return up
 
 
 def make_conds(rng, n):
     """n held-apart conditioning sets in the pipeline's branch order
     [head, pose, clothes, pose_c, clothes2, pose_c2] + prompt ids."""
     ids = jnp.asarray(rng.integers(1, 99, size=(n, 7)), jnp.int32)
-    neg = jnp.asarray(rng.integers(1, 99, size=(n, 7)), jnp.int32)
+    # the teacher's uncond prompt is the EMPTY prompt — the same uncond_ctx
+    # the distillation loss uses (training/distill.py), so the distilled
+    # target and the generated reference agree on what "uncond" means
+    neg = jnp.zeros((n, 7), jnp.int32)
     imgs = []
     for k in range(6):
         if k % 2 == 0:  # VAE branches, [-1, 1]
@@ -118,6 +197,15 @@ def main(argv=None):
         attn_impl="xla",
     )
     params = teacher_pipe.init_params(jax.random.key(args.seed))
+    if args.pretrain_teacher_steps:
+        params = dict(
+            params,
+            unet=pretrain_teacher(teacher_pipe, params,
+                                  args.pretrain_teacher_steps,
+                                  seed=args.seed),
+        )
+        # (the zero-init ControlNet heads keep every branch residual at 0,
+        # so the stale trunk tie inside params["controlnet"] is inert)
     frozen = {
         "vae": params["vae"],
         "clip": params["clip"],
