@@ -61,6 +61,7 @@ def test_export_cli_tiny(tmp_path):
     assert (tmp_path / "flops.json").exists()
 
 
+@pytest.mark.heavy
 def test_artifact_pipeline_matches_live(tmp_path, rng):
     """ArtifactPipeline (host loop over exported graphs — the reference
     app-onnx.py analog) reproduces the one-program EdgeStylePipeline."""
@@ -111,6 +112,7 @@ def test_artifact_pipeline_matches_live(tmp_path, rng):
         ArtifactPipeline(str(tmp_path), scheduler="euler")
 
 
+@pytest.mark.heavy
 def test_generate_artifact_matches_live_aggressive(tmp_path, rng):
     """VERDICT r3 item 4: the recommended serving MODES ship as one-program
     deployment artifacts. Export the whole generation with aggressive-mode

@@ -4,6 +4,7 @@ call, and vmap-ability over a leading batch axis."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from edgestyle_tpu.models.efficientvit.sam import SamConfig
 from edgestyle_tpu.pipelines.full import FusedTryOn
@@ -13,6 +14,7 @@ from tests.test_efficientvit import TINY_BB
 from tests.test_pipeline import TINY_PIPE
 
 
+@pytest.mark.heavy
 def test_fused_photos_to_tryon(rng):
     preproc = TryOnPreprocessor(SamConfig(backbone=TINY_BB, neck_depth=1, image_size=32))
     pipe = EdgeStylePipeline(TINY_PIPE, attn_impl="xla")
@@ -39,6 +41,7 @@ def test_fused_photos_to_tryon(rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
+@pytest.mark.heavy
 def test_fused_tryon_matches_committed_golden():
     """VERDICT r3 item 7: the committed photos→try-on golden
     (tests/goldens/fused_tryon_v1.npz, captured by

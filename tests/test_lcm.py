@@ -235,6 +235,7 @@ def test_fresh_lora_is_identity(distill_setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.heavy
 def test_distill_step_updates_lora_only(distill_setup, rng):
     pipe, params, frozen = distill_setup
     cfg = DistillConfig(lora_rank=4, grad_accum=1)
@@ -271,6 +272,7 @@ def test_distill_cli_parse():
     assert a.pretrained_model == "x" and a.edgestyle_checkpoint == "y"
 
 
+@pytest.mark.heavy
 def test_distill_ema_target(distill_setup, rng):
     pipe, params, frozen = distill_setup
     cfg = DistillConfig(lora_rank=4, grad_accum=2, ema_decay=0.9)
@@ -365,6 +367,7 @@ def test_distill_mode_cli():
     assert a.distill_mode == "guidance"
 
 
+@pytest.mark.heavy
 def test_distill_step_data_parallel_matches_single(distill_setup, rng):
     """VERDICT r3 item 6: shard-verify the distillation trainer the same
     way the ControlLoRA trainer is — identical jitted step, batch rows

@@ -2,6 +2,7 @@
 mesh matches the unsharded result, and the kernels are actually sharded."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -42,6 +43,7 @@ def test_tp_forward_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_dp_tp_train_step_matches_single_device():
     """VERDICT r1 item 10: the full ControlLoRA train step on a 2-D
     (data=4, model=2) mesh — TP-sharded frozen kernels + batch sharded on

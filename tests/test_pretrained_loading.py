@@ -20,6 +20,7 @@ def _write_safetensors(path, tensors):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_load_pipeline_params_end_to_end(tmp_path):
     import jax
     import jax.numpy as jnp

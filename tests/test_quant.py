@@ -230,6 +230,7 @@ def _tiny_pipe_setup():
     return tiny, pipe, params, ids, neg, imgs
 
 
+@pytest.mark.heavy
 def test_pipeline_quant_int8_static_calibrates_and_matches():
     from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline
 
@@ -269,6 +270,7 @@ def test_pipeline_quant_int8_static_calibrates_and_matches():
     assert float(jnp.abs(out_bad - out).mean()) > 1e-4
 
 
+@pytest.mark.heavy
 def test_generate_dp_int8_static_matches_single_device():
     """int8 × GSPMD: the data-parallel batched generate under int8-static
     must equal the single-device program (same static scale table, int8
@@ -318,6 +320,7 @@ def test_int8_scales_save_load_roundtrip(tmp_path):
         q.load_int8_scales(str(tmp_path / "bad.json"))
 
 
+@pytest.mark.heavy
 def test_export_cli_int8_static(tmp_path):
     """apps/export.py --quant int8-static: the deployment denoise graph
     carries the quantized path (int8 kernels inside the serialized
@@ -352,6 +355,7 @@ def test_pipeline_quant_env_and_validation(monkeypatch):
     assert p.quant == "int8"
 
 
+@pytest.mark.heavy
 def test_pipeline_int8_static_with_controlnet_cache():
     """The ControlNet-residual cache composes with int8-static: the cached
     branch carries QuantKernel-produced residuals and the refresh branch

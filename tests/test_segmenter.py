@@ -2,6 +2,7 @@
 decoder-only train step on a tiny SAM (loss decreases, encoder untouched)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,6 +47,7 @@ def test_jittered_box_bounds(rng):
     assert (p >= 0).all() and (p <= 64).all()
 
 
+@pytest.mark.heavy
 def test_segmenter_train_step_learns():
     cfg = SamConfig(backbone=TINY_BB, neck_depth=1, image_size=64)
     sam = EfficientViTSam(cfg)

@@ -53,6 +53,7 @@ def test_overlay_grid_shapes(rng):
     assert grid.shape == (16, 32, 3)
 
 
+@pytest.mark.heavy
 def test_driver_end_to_end(parsing_dir, tmp_path, capsys):
     out = str(tmp_path / "out")
     main(

@@ -184,6 +184,7 @@ def test_adamw_optimizer_option():
     assert not np.allclose(np.asarray(x2["w"]), np.asarray(x["w"]))
 
 
+@pytest.mark.heavy
 def test_grad_accum_one_fast_path(train_setup):
     """The r3 grad_accum==1 fast path (no scan/accumulator) must be exactly
     one grad + optimizer update with the same rng split the scan performed."""

@@ -30,6 +30,9 @@ def tiny_system(monkeypatch):
     sys_.sam_params = sys_.preproc.init_params(k[1])
     sys_.pipe = EdgeStylePipeline(TINY_PIPE, attn_impl="xla")
     sys_.gen_params = sys_.pipe.init_params(k[2])
+    # __new__ skips __init__ — install the serving-knob defaults the same
+    # way __init__ does (this is why _set_serving_knobs is factored out)
+    sys_._set_serving_knobs(None)
     return sys_
 
 
