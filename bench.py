@@ -298,14 +298,22 @@ CONFIGS = {"tryon": bench_tryon, "vae": bench_vae, "sam": bench_sam,
            "unet_cn": bench_unet_cn, "train": bench_train,
            "tryon_b4": bench_tryon_b4, "fused": bench_fused,
            "tryon_fast": bench_tryon_fast}
-# Per-config wall-clock caps (seconds) for the subprocess watchdog in "all"
-# mode. Sized for a WARM persistent compile cache (~/.cache/jax_comp_cache —
-# every entry point populates it) with generous headroom for tunnel
-# variance; a cold full-pipeline compile is ~8 min, so first-ever runs may
-# trip these — rerun once the cache is warm.
-CONFIG_TIMEOUTS = {"tryon": 900, "vae": 300, "sam": 300, "unet_cn": 420,
-                   "train": 900, "tryon_b4": 900, "fused": 1200,
-                   "tryon_fast": 900}
+# Watchdog GROUPS for "all" mode: each group runs in ONE subprocess under a
+# wall-clock cap. Grouping matters because every fresh process pays a
+# 1.5-3 min axon-tunnel client init (measured r4: 8 single-config
+# subprocesses = 25 min wall even warm/uncontended, of which device work is
+# seconds) — four groups keep the whole run ~10-14 min while a wedge or
+# runaway compile still can't eat anything OUTSIDE its group, and lines
+# already printed before a group timeout are salvaged from the killed
+# child's partial stdout. Caps sum to 1500 s = the default global budget;
+# sized for a WARM persistent compile cache (a cold full-pipeline compile
+# is ~8 min — first-ever runs may trip these; rerun once warm).
+CONFIG_GROUPS = [
+    (("tryon",), 360),
+    (("vae", "sam", "unet_cn", "train"), 420),
+    (("tryon_b4", "tryon_fast"), 420),
+    (("fused",), 300),
+]
 # runnable by name but excluded from --config all (opt-in feature; heavy
 # extra compiles)
 OPTIONAL_CONFIGS = {"tryon_int8_b4": bench_tryon_int8_b4,
@@ -316,62 +324,89 @@ OPTIONAL_CONFIGS = {"tryon_int8_b4": bench_tryon_int8_b4,
                     "tryon_lcm": bench_tryon_lcm}
 
 
-def _run_one_inprocess(name):
-    """Run one config in THIS process and print its JSON line."""
+def _run_one_inprocess(names):
+    """Run configs in THIS process, printing one JSON line each."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     runnable = {**CONFIGS, **OPTIONAL_CONFIGS}
-    try:
-        line = json.dumps(runnable[name]())
-    except Exception as e:  # noqa: BLE001
-        line = json.dumps({"metric": name, "error": f"{type(e).__name__}: {e}"})
-    print(line, flush=True)
-    return line
+    for name in names:
+        try:
+            line = json.dumps(runnable[name]())
+        except Exception as e:  # noqa: BLE001
+            line = json.dumps({"metric": name, "error": f"{type(e).__name__}: {e}"})
+        print(line, flush=True)
 
 
 def _run_all(budget_s):
-    """Watchdogged "all" mode: each config runs in its OWN subprocess with a
-    wall-clock cap, so a tunnel wedge or runaway compile in one config can
-    never eat the lines behind it (the r3 failure mode — BENCH_r03 rc:124
-    lost 6 of 8 configs). A global budget bounds the whole run; configs that
-    would not fit emit explicit error lines instead of silently vanishing.
-    The headline line is re-emitted LAST because the driver's `parsed` field
-    records the final line."""
+    """Watchdogged "all" mode: config GROUPS run in their own subprocess
+    with a wall-clock cap, so a tunnel wedge or runaway compile can never
+    eat anything outside its group (the r3 failure mode — BENCH_r03 rc:124
+    lost 6 of 8 configs). On a group timeout, lines the child already
+    printed are salvaged from its partial stdout and only the unfinished
+    configs get error lines. A global budget bounds the whole run; groups
+    that would not fit emit explicit skip lines instead of silently
+    vanishing. The headline line is re-emitted LAST because the driver's
+    `parsed` field records the final line."""
     deadline = time.monotonic() + budget_s
     lines = {}
-    for n in CONFIGS:
+
+    # child lines carry either the config's metric name (success) or the
+    # config name itself (in-child error line)
+    metric_of = {
+        "tryon": "tryon_images_per_sec_512px_20steps_6branch",
+        "vae": "vae_roundtrip_512px_ms",
+        "sam": "sam_l2_mask_forward_512px_ms",
+        "unet_cn": "unet_single_controlnet_step_cfg2_ms",
+        "train": "controllora_train_step_per_sample_s",
+        "tryon_b4": "tryon_throughput_b4_images_per_sec",
+        "fused": "fused_photos_to_tryon_s_20steps",
+        "tryon_fast": "tryon_fast_cfg0.4_cn3_images_per_sec",
+    }
+
+    def emit(raw_stdout, names, err):
+        got = set()
+        for ln in (raw_stdout or "").splitlines():
+            if ln.startswith("{"):
+                print(ln, flush=True)
+                try:
+                    m = json.loads(ln).get("metric", "")
+                except ValueError:
+                    continue
+                for n in names:
+                    if m in (n, metric_of.get(n)):
+                        got.add(n)
+                        lines[n] = ln
+        for n in names:
+            if n not in got:
+                print(json.dumps({"metric": n, "error": err}), flush=True)
+
+    for names, cap in CONFIG_GROUPS:
         remaining = deadline - time.monotonic()
-        cap = CONFIG_TIMEOUTS.get(n, 600)
-        if remaining < min(cap, 120):
-            line = json.dumps(
-                {"metric": n, "error": f"skipped: global budget {budget_s}s exhausted"})
-            print(line, flush=True)
+        if remaining < 60:
+            for n in names:
+                print(json.dumps({"metric": n,
+                                  "error": f"skipped: global budget {budget_s}s exhausted"}),
+                      flush=True)
             continue
         cap = min(cap, int(remaining))
         t0 = time.monotonic()
         try:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--config", n],
+                [sys.executable, os.path.abspath(__file__),
+                 "--config", ",".join(names)],
                 cwd=os.path.dirname(os.path.abspath(__file__)),
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
                 stdin=subprocess.DEVNULL, timeout=cap, text=True,
             )
-            out = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-            if out:
-                for ln in out:
-                    print(ln, flush=True)
-                lines[n] = out[-1]
-            else:
-                print(json.dumps({"metric": n,
-                                  "error": f"no output (rc {proc.returncode})"}),
-                      flush=True)
-        except subprocess.TimeoutExpired:
-            print(json.dumps(
-                {"metric": n,
-                 "error": f"timeout after {int(time.monotonic() - t0)}s (cap {cap}s)"}),
-                flush=True)
+            emit(proc.stdout, names, f"no output (rc {proc.returncode})")
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+            emit(out, names,
+                 f"timeout after {int(time.monotonic() - t0)}s (group cap {cap}s)")
     # the driver's parsed field takes the LAST line — make it the headline
     if "tryon" in lines:
         print(lines["tryon"], flush=True)
@@ -384,9 +419,10 @@ def main():
     # the headline try-on metric stays the FIRST line emitted (and is
     # repeated as the last line for the driver's parsed field).
     ap.add_argument(
-        "--config",
-        choices=list(CONFIGS) + list(OPTIONAL_CONFIGS) + ["all"],
-        default="all",
+        "--config", default="all",
+        help="'all', one config name, or a comma-separated list run "
+             "in-process (choices: %s)"
+             % ", ".join(list(CONFIGS) + list(OPTIONAL_CONFIGS)),
     )
     ap.add_argument(
         "--budget", type=float,
@@ -397,7 +433,13 @@ def main():
     if args.config == "all":
         _run_all(args.budget)
     else:
-        _run_one_inprocess(args.config)
+        names = [n.strip() for n in args.config.split(",") if n.strip()]
+        runnable = {**CONFIGS, **OPTIONAL_CONFIGS}
+        unknown = [n for n in names if n not in runnable]
+        if unknown:
+            ap.error(f"unknown config(s) {unknown}; choose from "
+                     f"{sorted(runnable)} or 'all'")
+        _run_one_inprocess(names)
 
 
 if __name__ == "__main__":
