@@ -22,28 +22,48 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
 JETSON_ORIN_BASELINE_IMAGES_PER_SEC = 1.0 / 30.0
 
+# Set in child mode (--prelim): _time emits a single-iteration preliminary
+# line before the averaged one, so an internal-deadline kill still leaves a
+# numeric record for the config (VERDICT r4 item 1).
+_EMIT_PRELIM = False
+
 
 def _sync(x):
+    if isinstance(x, np.ndarray):  # fake-config test hook: host-only
+        return
     import jax
 
     leaf = jax.tree.leaves(x)[0]
     np.asarray(leaf).ravel()[:1]
 
 
-def _time(fn, iters=3):
+def _time(fn, iters=3, mk=None):
+    """Warm up (compile) with fn(0), then time `iters` calls. If `mk` is
+    given and preliminary emission is on, the first timed iteration is
+    printed immediately as a {"prelim": true} line — a timeout after that
+    point still leaves a number in the artifact."""
     out = fn(0)
     _sync(out)
     t0 = time.time()
-    for i in range(iters):
-        out = fn(i + 1)
+    out = fn(1)
     _sync(out)
-    return (time.time() - t0) / iters
+    dt1 = time.time() - t0
+    if mk is not None and _EMIT_PRELIM:
+        print(json.dumps({**mk(dt1), "prelim": True}), flush=True)
+    if iters <= 1:
+        return dt1
+    t0 = time.time()
+    for i in range(iters - 1):
+        out = fn(i + 2)
+    _sync(out)
+    return (dt1 + (time.time() - t0)) / iters
 
 
 def _tryon_bench(metric, b=1, steps=20, guidance=3.5, quant=None,
@@ -70,14 +90,14 @@ def _tryon_bench(metric, b=1, steps=20, guidance=3.5, quant=None,
     neg = jnp.asarray(rng.integers(1, 49000, (b, 77)), jnp.int32)
     imgs = [jnp.asarray(rng.standard_normal((b, 512, 512, 3)), jnp.float32) * 0.1
             for _ in range(6)]
+    mk = lambda dt: {
+        "metric": metric, "value": round(b / dt, 4), "unit": "images/sec",
+        "vs_baseline": round((b / dt) / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2),
+    }
     dt = _time(lambda s: pipe(params, ids, neg, imgs, rng=jax.random.key(s),
                               num_inference_steps=steps,
-                              guidance_scale=guidance, **call_kwargs))
-    ips = b / dt
-    return {
-        "metric": metric, "value": round(ips, 4), "unit": "images/sec",
-        "vs_baseline": round(ips / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2),
-    }
+                              guidance_scale=guidance, **call_kwargs), mk=mk)
+    return mk(dt)
 
 
 def bench_tryon():
@@ -96,9 +116,10 @@ def bench_vae():
     p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
     f = jax.jit(lambda p, x: vae.apply(p, vae.apply(p, x, method=vae.encode),
                                        method=vae.decode))
-    dt = _time(lambda s: f(p, img), iters=10)
-    return {"metric": "vae_roundtrip_512px_ms", "value": round(dt * 1e3, 2),
-            "unit": "ms", "vs_baseline": None}
+    mk = lambda dt: {"metric": "vae_roundtrip_512px_ms",
+                     "value": round(dt * 1e3, 2), "unit": "ms",
+                     "vs_baseline": None}
+    return mk(_time(lambda s: f(p, img), iters=10, mk=mk))
 
 
 def bench_sam():
@@ -113,9 +134,10 @@ def bench_sam():
     pts, lbl = boxes_to_points(jnp.array([[100.0, 150.0, 400.0, 480.0]]))
     p = jax.jit(sam.init)(jax.random.key(1), img, pts, lbl)
     f = jax.jit(lambda p, i, pt, lb: sam.apply(p, i, pt, lb, multimask_output=True))
-    dt = _time(lambda s: f(p, img, pts, lbl), iters=10)
-    return {"metric": "sam_l2_mask_forward_512px_ms", "value": round(dt * 1e3, 2),
-            "unit": "ms", "vs_baseline": None}
+    mk = lambda dt: {"metric": "sam_l2_mask_forward_512px_ms",
+                     "value": round(dt * 1e3, 2), "unit": "ms",
+                     "vs_baseline": None}
+    return mk(_time(lambda s: f(p, img, pts, lbl), iters=10, mk=mk))
 
 
 def bench_unet_cn():
@@ -143,9 +165,10 @@ def bench_unet_cn():
         return unet.apply(up, x, t, ctx, down_block_additional_residuals=down,
                           mid_block_additional_residual=mid)
 
-    dt = _time(lambda s: step(up, cp, x, t, ctx, emb), iters=10)
-    return {"metric": "unet_single_controlnet_step_cfg2_ms",
-            "value": round(dt * 1e3, 2), "unit": "ms", "vs_baseline": None}
+    mk = lambda dt: {"metric": "unet_single_controlnet_step_cfg2_ms",
+                     "value": round(dt * 1e3, 2), "unit": "ms",
+                     "vs_baseline": None}
+    return mk(_time(lambda s: step(up, cp, x, t, ctx, emb), iters=10, mk=mk))
 
 
 def bench_train():
@@ -181,10 +204,11 @@ def bench_train():
         ns, m = step(state, frozen, batch, jax.random.key(s))
         return m["loss"]
 
-    dt = _time(run, iters=3)
     # per-sample time; the reference recipe (bs2×ga32) is 64 samples/step
-    return {"metric": "controllora_train_step_per_sample_s",
-            "value": round(dt / mb, 3), "unit": "s", "vs_baseline": None}
+    mk = lambda dt: {"metric": "controllora_train_step_per_sample_s",
+                     "value": round(dt / mb, 3), "unit": "s",
+                     "vs_baseline": None}
+    return mk(_time(run, iters=3, mk=mk))
 
 
 def bench_tryon_b4():
@@ -218,11 +242,13 @@ def bench_fused():
     ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
     neg = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
     s, c1, c2 = photo(), photo(), photo()
+    mk = lambda dt: {
+        "metric": "fused_photos_to_tryon_s_20steps", "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round((1.0 / dt) / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
     dt = _time(lambda i: fused(params, s, c1, c2, kps, ids, neg,
-                               jax.random.key(i), num_inference_steps=20))
-    return {"metric": "fused_photos_to_tryon_s_20steps", "value": round(dt, 3),
-            "unit": "s",
-            "vs_baseline": round((1.0 / dt) / JETSON_ORIN_BASELINE_IMAGES_PER_SEC, 2)}
+                               jax.random.key(i), num_inference_steps=20), mk=mk)
+    return mk(dt)
 
 
 def bench_tryon_int8_b4():
@@ -292,28 +318,22 @@ def bench_tryon_lcm():
 # keep it), then the CHEAP regression signals (vae/sam/unet_cn/train — the
 # r3 driver timeout ate exactly these when they were queued last), then the
 # expensive variants. tryon_fast is the recommended aggressive serving mode
-# (cfg window 0.4 + ControlNet-residual cache k=3; 2.12x over exact at SSIM
-# 0.9988, BASELINE.md "CFG step window").
+# (see apps/tryon.py apply_serving_mode for the preset's current knobs).
 CONFIGS = {"tryon": bench_tryon, "vae": bench_vae, "sam": bench_sam,
            "unet_cn": bench_unet_cn, "train": bench_train,
            "tryon_b4": bench_tryon_b4, "fused": bench_fused,
            "tryon_fast": bench_tryon_fast}
-# Watchdog GROUPS for "all" mode: each group runs in ONE subprocess under a
-# wall-clock cap. Grouping matters because every fresh process pays a
-# 1.5-3 min axon-tunnel client init (measured r4: 8 single-config
-# subprocesses = 25 min wall even warm/uncontended, of which device work is
-# seconds) — four groups keep the whole run ~10-14 min while a wedge or
-# runaway compile still can't eat anything OUTSIDE its group, and lines
-# already printed before a group timeout are salvaged from the killed
-# child's partial stdout. Caps sum to 1500 s = the default global budget;
-# sized for a WARM persistent compile cache (a cold full-pipeline compile
-# is ~8 min — first-ever runs may trip these; rerun once warm).
-CONFIG_GROUPS = [
-    (("tryon",), 360),
-    (("vae", "sam", "unet_cn", "train"), 420),
-    (("tryon_b4", "tryon_fast"), 420),
-    (("fused",), 300),
-]
+# Per-config INTERNAL deadlines (s) for "all" mode, enforced by a watchdog
+# thread inside the single child process. Generous on purpose: unused time
+# is not wasted (the next config starts immediately), the deadline only
+# bounds how much a runaway compile or a tunnel wedge can eat. r4's group
+# design spent its budget on 4 tunnel-client inits (1.5-3 min each) and
+# lost the headline to a 360 s group cap; one process pays the init once
+# and gives the headline the full 600 s VERDICT r4 prescribes.
+CONFIG_DEADLINES = {
+    "tryon": 600, "vae": 90, "sam": 90, "unet_cn": 150, "train": 420,
+    "tryon_b4": 420, "fused": 420, "tryon_fast": 360,
+}
 # runnable by name but excluded from --config all (opt-in feature; heavy
 # extra compiles)
 OPTIONAL_CONFIGS = {"tryon_int8_b4": bench_tryon_int8_b4,
@@ -323,93 +343,205 @@ OPTIONAL_CONFIGS = {"tryon_int8_b4": bench_tryon_int8_b4,
                     "tryon_dpm": bench_tryon_dpm,
                     "tryon_lcm": bench_tryon_lcm}
 
+METRIC_OF = {
+    "tryon": "tryon_images_per_sec_512px_20steps_6branch",
+    "vae": "vae_roundtrip_512px_ms",
+    "sam": "sam_l2_mask_forward_512px_ms",
+    "unet_cn": "unet_single_controlnet_step_cfg2_ms",
+    "train": "controllora_train_step_per_sample_s",
+    "tryon_b4": "tryon_throughput_b4_images_per_sec",
+    "fused": "fused_photos_to_tryon_s_20steps",
+    "tryon_fast": "tryon_fast_cfg0.4_cn3_images_per_sec",
+}
+_CONFIG_OF_METRIC = {m: n for n, m in METRIC_OF.items()}
 
-def _run_one_inprocess(names):
-    """Run configs in THIS process, printing one JSON line each."""
-    import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def _config_of(line):
+    """Map a printed JSON line back to its config name (or None)."""
+    try:
+        m = json.loads(line).get("metric", "")
+    except ValueError:
+        return None
+    return _CONFIG_OF_METRIC.get(m, m if m in METRIC_OF else None)
+
+
+def _maybe_install_fakes():
+    """Test hook: EDGESTYLE_BENCH_FAKE="name:behavior[:deadline_s],..."
+    replaces the config tables with tiny host-only fakes so the "all"
+    orchestration (watchdog deadlines, prelim fallback, respawn, budget
+    skips) is testable without a device. Behaviors: ok | hang (wedges after
+    the prelim iteration) | hang0 (wedges before any measurement) | crash
+    (child dies mid-config). Propagates to children via the environment."""
+    spec = os.environ.get("EDGESTYLE_BENCH_FAKE")
+    if not spec:
+        return
+    for table in (CONFIGS, OPTIONAL_CONFIGS, CONFIG_DEADLINES, METRIC_OF,
+                  _CONFIG_OF_METRIC):
+        table.clear()
+    for item in spec.split(","):
+        parts = item.strip().split(":")
+        name, behavior = parts[0], parts[1]
+        secs = float(parts[2]) if len(parts) > 2 else 5.0
+
+        def fake(name=name, behavior=behavior):
+            mk = lambda dt: {"metric": name + "_metric",
+                             "value": round(dt, 4), "unit": "s",
+                             "vs_baseline": None}
+
+            def fn(i):
+                if behavior == "crash" and i >= 1:
+                    os._exit(1)
+                if behavior == "hang0" or (behavior == "hang" and i >= 2):
+                    time.sleep(3600)
+                time.sleep(0.01)
+                return np.zeros(1)
+
+            return mk(_time(fn, iters=3, mk=mk))
+
+        CONFIGS[name] = fake
+        CONFIG_DEADLINES[name] = secs
+        METRIC_OF[name] = name + "_metric"
+        _CONFIG_OF_METRIC[name + "_metric"] = name
+
+
+def _run_one_inprocess(names, deadline=None):
+    """Run configs in THIS process, printing one JSON line each.
+
+    With `deadline` (monotonic, child mode): each config is additionally
+    bounded by CONFIG_DEADLINES via a watchdog thread. A blocked tunnel RPC
+    cannot be interrupted, so on expiry the watchdog prints an error line
+    for the current config (its preliminary line, if one landed earlier,
+    remains the config's numeric record) and hard-exits; the parent
+    re-spawns one fresh child for the configs never attempted."""
+    if not os.environ.get("EDGESTYLE_BENCH_FAKE"):
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     runnable = {**CONFIGS, **OPTIONAL_CONFIGS}
     for name in names:
+        cap = None
+        if deadline is not None:
+            remaining = deadline - time.monotonic()
+            if remaining < 45:
+                print(json.dumps({"metric": name,
+                                  "error": "skipped: global budget exhausted"}),
+                      flush=True)
+                continue
+            cap = min(CONFIG_DEADLINES.get(name, 300), remaining)
+        done = threading.Event()
+
+        def expire(name=name, cap=cap, done=done):
+            if done.is_set():
+                return
+            print(json.dumps({
+                "metric": name,
+                "error": f"internal deadline {int(cap)}s expired"}), flush=True)
+            os._exit(3)
+
+        watchdog = None
+        if cap is not None:
+            watchdog = threading.Timer(cap, expire)
+            watchdog.daemon = True
+            watchdog.start()
         try:
             line = json.dumps(runnable[name]())
         except Exception as e:  # noqa: BLE001
             line = json.dumps({"metric": name, "error": f"{type(e).__name__}: {e}"})
+        done.set()
+        if watchdog is not None:
+            watchdog.cancel()
         print(line, flush=True)
 
 
+def _spawn_child(names, budget):
+    """Start one child running `names` with prelim lines on; stream its
+    stdout through a queue so lines reach OUR stdout in real time (the
+    driver records whatever made it out if we in turn are killed)."""
+    import queue
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "--config", ",".join(names), "--prelim", "--child-budget",
+         str(int(budget))],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        stdin=subprocess.DEVNULL, text=True,
+    )
+    q = queue.Queue()
+
+    def reader():
+        for ln in proc.stdout:
+            q.put(ln.rstrip("\n"))
+        q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+    return proc, q
+
+
 def _run_all(budget_s):
-    """Watchdogged "all" mode: config GROUPS run in their own subprocess
-    with a wall-clock cap, so a tunnel wedge or runaway compile can never
-    eat anything outside its group (the r3 failure mode — BENCH_r03 rc:124
-    lost 6 of 8 configs). On a group timeout, lines the child already
-    printed are salvaged from its partial stdout and only the unfinished
-    configs get error lines. A global budget bounds the whole run; groups
-    that would not fit emit explicit skip lines instead of silently
-    vanishing. The headline line is re-emitted LAST because the driver's
+    """Driver "all" mode (VERDICT r4 item 1). ONE child process runs every
+    config in order — the 1.5-3 min axon tunnel-client init is paid once,
+    not per group — with per-config internal watchdog deadlines inside the
+    child, preliminary single-iteration lines as soon as a config has run
+    once, and ONE respawn if the child dies with configs un-attempted.
+    Final lines stream through in real time; a config whose final line
+    never arrives falls back to its preliminary line, then to an explicit
+    error line. The headline is re-emitted LAST because the driver's
     `parsed` field records the final line."""
+    import queue
+
     deadline = time.monotonic() + budget_s
-    lines = {}
+    final = {}    # config -> final success line
+    prelim = {}   # config -> single-iteration line (fallback numeric record)
+    errors = {}   # config -> error line the child printed
+    todo = list(CONFIGS)
 
-    # child lines carry either the config's metric name (success) or the
-    # config name itself (in-child error line)
-    metric_of = {
-        "tryon": "tryon_images_per_sec_512px_20steps_6branch",
-        "vae": "vae_roundtrip_512px_ms",
-        "sam": "sam_l2_mask_forward_512px_ms",
-        "unet_cn": "unet_single_controlnet_step_cfg2_ms",
-        "train": "controllora_train_step_per_sample_s",
-        "tryon_b4": "tryon_throughput_b4_images_per_sec",
-        "fused": "fused_photos_to_tryon_s_20steps",
-        "tryon_fast": "tryon_fast_cfg0.4_cn3_images_per_sec",
-    }
-
-    def emit(raw_stdout, names, err):
-        got = set()
-        for ln in (raw_stdout or "").splitlines():
-            if ln.startswith("{"):
-                print(ln, flush=True)
-                try:
-                    m = json.loads(ln).get("metric", "")
-                except ValueError:
-                    continue
-                for n in names:
-                    if m in (n, metric_of.get(n)):
-                        got.add(n)
-                        lines[n] = ln
-        for n in names:
-            if n not in got:
-                print(json.dumps({"metric": n, "error": err}), flush=True)
-
-    for names, cap in CONFIG_GROUPS:
+    for _attempt in range(2):
+        pending = [n for n in todo
+                   if n not in final and n not in errors and n not in prelim]
         remaining = deadline - time.monotonic()
-        if remaining < 60:
-            for n in names:
-                print(json.dumps({"metric": n,
-                                  "error": f"skipped: global budget {budget_s}s exhausted"}),
-                      flush=True)
-            continue
-        cap = min(cap, int(remaining))
-        t0 = time.monotonic()
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--config", ",".join(names)],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                stdin=subprocess.DEVNULL, timeout=cap, text=True,
-            )
-            emit(proc.stdout, names, f"no output (rc {proc.returncode})")
-        except subprocess.TimeoutExpired as e:
-            out = e.stdout
-            if isinstance(out, bytes):
-                out = out.decode(errors="replace")
-            emit(out, names,
-                 f"timeout after {int(time.monotonic() - t0)}s (group cap {cap}s)")
+        if not pending or remaining < 120:
+            break
+        proc, q = _spawn_child(pending, remaining)
+        while True:
+            try:
+                ln = q.get(timeout=max(0.5, min(5.0, deadline - time.monotonic())))
+            except queue.Empty:
+                if time.monotonic() >= deadline:
+                    proc.kill()
+                    break
+                continue
+            if ln is None:
+                break
+            if not ln.startswith("{"):
+                continue
+            try:
+                rec = json.loads(ln)
+            except ValueError:
+                continue
+            print(ln, flush=True)  # real-time pass-through, nothing buffered
+            name = _config_of(ln)
+            if not name:
+                continue
+            if rec.get("prelim"):
+                prelim[name] = ln
+            elif "error" in rec:
+                errors[name] = ln
+            else:
+                final[name] = ln
+        proc.wait()
+
+    for n in todo:
+        if n not in final and n not in errors and n not in prelim:
+            print(json.dumps({"metric": n,
+                              "error": "not reached within budget "
+                                       f"{int(budget_s)}s"}), flush=True)
     # the driver's parsed field takes the LAST line — make it the headline
-    if "tryon" in lines:
-        print(lines["tryon"], flush=True)
+    head = final.get("tryon") or prelim.get("tryon")
+    if head:
+        print(head, flush=True)
 
 
 def main():
@@ -429,7 +561,16 @@ def main():
         default=float(os.environ.get("EDGESTYLE_BENCH_BUDGET", 1500)),
         help="global wall-clock budget (s) for --config all",
     )
+    ap.add_argument("--prelim", action="store_true",
+                    help="emit {'prelim': true} single-iteration lines before "
+                         "the averaged ones (the 'all' child sets this)")
+    ap.add_argument("--child-budget", type=float, default=None,
+                    help="internal: child-mode global deadline (s from now); "
+                         "arms per-config watchdog deadlines")
     args = ap.parse_args()
+    global _EMIT_PRELIM
+    _EMIT_PRELIM = args.prelim
+    _maybe_install_fakes()
     if args.config == "all":
         _run_all(args.budget)
     else:
@@ -439,7 +580,9 @@ def main():
         if unknown:
             ap.error(f"unknown config(s) {unknown}; choose from "
                      f"{sorted(runnable)} or 'all'")
-        _run_one_inprocess(names)
+        deadline = (time.monotonic() + args.child_budget
+                    if args.child_budget is not None else None)
+        _run_one_inprocess(names, deadline=deadline)
 
 
 if __name__ == "__main__":
