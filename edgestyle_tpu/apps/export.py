@@ -76,6 +76,16 @@ def parse_args(argv=None):
     p.add_argument("--unet_cache_interval", type=int, default=None,
                    help="UNet deep-feature cache interval baked into the "
                         "generate graph (1 = exact)")
+    p.add_argument("--controlnet_cache_steps", type=int, nargs="+",
+                   default=None, metavar="STEP",
+                   help="explicit (non-uniform) ControlNet refresh schedule "
+                        "baked into the generate graph (the aggressive "
+                        "preset's front-loaded schedule; overrides the "
+                        "interval knob)")
+    p.add_argument("--unet_cache_steps", type=int, nargs="+", default=None,
+                   metavar="STEP",
+                   help="explicit UNet deep-feature refresh schedule baked "
+                        "into the generate graph")
     p.add_argument("--quant", choices=("none", "int8", "int8-static"),
                    default="none",
                    help="bake the W8A8 int8 denoise path (ops/quant.py) "
@@ -288,6 +298,12 @@ def main(argv=None, config=None):
             cfg_interval=tuple(args.cfg_interval),
             controlnet_cache_interval=args.controlnet_cache_interval,
             unet_cache_interval=args.unet_cache_interval,
+            controlnet_cache_steps=(
+                tuple(args.controlnet_cache_steps)
+                if args.controlnet_cache_steps is not None else None),
+            unet_cache_steps=(
+                tuple(args.unet_cache_steps)
+                if args.unet_cache_steps is not None else None),
         )
 
         def generate(p, ids, neg, imgs, key_data, guidance):

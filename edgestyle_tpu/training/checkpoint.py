@@ -85,6 +85,33 @@ def load_checkpoint(root: str, template: Dict[str, Any], step: str | int = "late
     return ckptr.restore(path, jax.device_get(template))
 
 
+def load_checkpoint_sharded(
+    root: str, template: Dict[str, Any], step: str | int = "latest"
+):
+    """Restore a train state directly INTO a multi-chip sharded layout.
+
+    `template` is a pytree of jax.Arrays already placed on a Mesh (e.g. the
+    live train state on a DP or DP×TP mesh); each leaf is restored as a
+    jax.Array with the template leaf's sharding — orbax writes the shards
+    straight to their devices, no host-side gather/scatter on the resume
+    path. This is the sharded analog of the reference's load-hook round
+    trip (train...py:830-862): resume after relaunch must be bit-identical
+    AND land in the same partitioned layout the step function expects.
+    """
+    if step == "latest":
+        steps = list_checkpoints(root)
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {root}")
+        step = steps[-1]
+    path = os.path.abspath(_dir(root, int(step)))
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        template,
+    )
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, abstract)
+
+
 def export_safetensors(path: str, trainable: Dict[str, Any]) -> None:
     """Flat safetensors export of the trainable set (lora adapters, heads,
     fusion) — the deployable artifact analogous to the reference's

@@ -84,6 +84,17 @@ def parse_args(argv=None):
                    help="student NFE (default: 4 for consistency, 20 for "
                         "guidance — same count as the teacher, CFG off)")
     p.add_argument("--ema_decay", type=float, default=None)
+    p.add_argument("--num_ddim_timesteps", type=int, default=50,
+                   help="the consistency distillation grid (LCM default "
+                        "50). A COARSER grid (e.g. 8) shortens the "
+                        "bootstrap chain — each target is closer to x0 — "
+                        "at the cost of a larger per-hop solver step; the "
+                        "student's LCM sampler grid is matched "
+                        "automatically (it cannot sample off the grid it "
+                        "was distilled on)")
+    p.add_argument("--huber_c", type=float, default=0.001)
+    p.add_argument("--loss_type", type=str, default="huber",
+                   choices=["huber", "l2"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pretrain_teacher_steps", type=int, default=0,
                    help="pretrain the FULL tiny UNet for N steps on a "
@@ -196,6 +207,16 @@ def main(argv=None):
         dataclasses.replace(TINY_PIPE, scheduler=student_sched),
         attn_impl="xla",
     )
+    if args.mode == "consistency" and args.num_ddim_timesteps != 50:
+        # serve on the SAME grid the student distills on (LCM cannot
+        # sample off its distillation grid)
+        from edgestyle_tpu.schedulers.ddpm import NoiseSchedule
+        from edgestyle_tpu.schedulers.lcm import LCMScheduler
+
+        student_pipe.scheduler = LCMScheduler(
+            NoiseSchedule.sd15(),
+            original_inference_steps=args.num_ddim_timesteps,
+        )
     params = teacher_pipe.init_params(jax.random.key(args.seed))
     if args.pretrain_teacher_steps:
         params = dict(
@@ -247,6 +268,8 @@ def main(argv=None):
         lora_rank=args.lora_rank, w_min=args.guidance - 1.0,
         w_max=args.guidance - 1.0, learning_rate=args.lr, grad_accum=1,
         swap_prob=0.0, ema_decay=args.ema_decay,
+        num_ddim_timesteps=args.num_ddim_timesteps,
+        huber_c=args.huber_c, loss_type=args.loss_type,
     )
     state = init_distill_state(
         teacher_pipe, jax.random.key(args.seed + 1), params["unet"], dcfg
@@ -346,6 +369,9 @@ def main(argv=None):
         "teacher": f"UniPC-20 g={args.guidance}",
         "student": f"{student_desc}-{args.student_steps} cfg-off "
                    f"rank={args.lora_rank}",
+        "num_ddim_timesteps": args.num_ddim_timesteps,
+        "lr": args.lr, "ema_decay": args.ema_decay,
+        "pretrain_teacher_steps": args.pretrain_teacher_steps,
         "wall_s": round(time.time() - t0, 1),
     }), flush=True)
 

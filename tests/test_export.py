@@ -163,6 +163,48 @@ def test_generate_artifact_matches_live_aggressive(tmp_path, rng):
             guidance_scale=3.5, **knobs)
 
 
+def test_generate_export_bakes_cache_schedule(tmp_path, rng):
+    """The aggressive preset's non-uniform ControlNet refresh SCHEDULE
+    (--controlnet_cache_steps) bakes into the one-program artifact and
+    round-trips through serving.json's request matching (JSON stores it
+    as a list; requests pass tuples)."""
+    import json
+
+    from edgestyle_tpu.apps.export import main
+    from edgestyle_tpu.pipelines.artifact import ArtifactPipeline
+    from edgestyle_tpu.pipelines.tryon import EdgeStylePipeline
+    from tests.test_pipeline import TINY_PIPE
+
+    main(["--output_dir", str(tmp_path), "--random_init", "--what",
+          "generate", "--dtype", "float32", "--steps", "4",
+          "--cfg_interval", "0", "0.5", "--controlnet_cache_steps",
+          "0", "1", "3"], config=TINY_PIPE)
+    serving = json.loads((tmp_path / "serving.json").read_text())
+    assert list(serving["controlnet_cache_steps"]) == [0, 1, 3]
+
+    pipe = EdgeStylePipeline(TINY_PIPE, attn_impl="xla")
+    params = pipe.init_params(jax.random.key(0))
+    ids = jnp.asarray(rng.integers(1, 99, size=(1, 7)), jnp.int32)
+    neg = jnp.asarray(rng.integers(1, 99, size=(1, 7)), jnp.int32)
+    imgs = [jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32) * 0.1
+            for _ in range(6)]
+    key = jax.random.key(3)
+    knobs = dict(cfg_interval=(0.0, 0.5),
+                 controlnet_cache_steps=(0, 1, 3))
+    live = pipe(params, ids, neg, imgs, rng=key, num_inference_steps=4,
+                guidance_scale=3.5, **knobs)
+    art = ArtifactPipeline(str(tmp_path))
+    out = art(params, ids, neg, imgs, rng=key, num_inference_steps=4,
+              guidance_scale=3.5, **knobs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live),
+                               atol=2e-4, rtol=1e-3)
+    # a request with a DIFFERENT schedule is rejected
+    with pytest.raises(ValueError):
+        art(params, ids, neg, imgs, rng=key, num_inference_steps=4,
+            guidance_scale=3.5, cfg_interval=(0.0, 0.5),
+            controlnet_cache_steps=(0, 2))
+
+
 def test_host_loop_artifact_rejects_serving_knobs(tmp_path, rng):
     """The per-stage (host-loop) artifact runs exact semantics only —
     passing approximation knobs must error, pointing at --what generate."""
