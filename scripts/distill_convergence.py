@@ -339,6 +339,16 @@ def main(argv=None):
             )
             controls[f"control_unipc{args.student_steps}_ssim_{k}"] = round(
                 float(jnp.mean(ssim(u4, teacher_ref[k]))), 4)
+            # CFG-OFF few-step control: separates "the student must learn
+            # the w-amplified output" (this control is low too) from "the
+            # LCM sampling path is broken" (only the LCM student is low)
+            u4off = teacher_pipe(
+                params, i, n, im, rng=ev_key,
+                num_inference_steps=args.student_steps,
+                guidance_scale=1.0, cfg_interval=(0.0, 0.0), latents=la,
+            )
+            controls[f"control_unipc{args.student_steps}_cfgoff_ssim_{k}"] = (
+                round(float(jnp.mean(ssim(u4off, teacher_ref[k]))), 4))
     print(json.dumps({"step": 0, "loss": None, **controls}), flush=True)
 
     history = [(0, base)]

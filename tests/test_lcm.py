@@ -83,6 +83,35 @@ def test_timestep_grid_matches_diffusers():
         s.timestep_grid(51)
 
 
+def test_sampler_exact_under_perfect_model():
+    """Independent-of-transcription correctness anchor (r5): with an
+    ANALYTICALLY perfect ε model for a fixed target x0 — ε(x,t) =
+    (x − √ᾱ_t·x0)/√(1−ᾱ_t) — every LCM step's consistency estimate is x0
+    exactly, so sampling at ANY step count must return x0 to float
+    precision. This pins the grid/boundary/re-noise plumbing end to end
+    without trusting a same-author transcription, and is the control that
+    separated "LCM sampling is broken" from "an undistilled ε model's
+    one-shot x̂0 at t≈T is ill-conditioned (÷√ᾱ≈0.007)" in the r5
+    consistency-distillation close-out (BASELINE.md)."""
+    sched = NoiseSchedule.sd15()
+    ac = jnp.asarray(sched.alphas_cumprod)
+    g = np.random.default_rng(0)
+    x0 = jnp.asarray(g.standard_normal((2, 8, 8, 4)), jnp.float32)
+
+    def eps_model(x, t, i):
+        a = jnp.sqrt(ac[t])
+        s = jnp.sqrt(1.0 - ac[t])
+        return (x - a * x0) / s
+
+    lat = jnp.asarray(g.standard_normal((2, 8, 8, 4)), jnp.float32)
+    for orig, n in ((50, 4), (8, 4), (8, 1)):
+        s = LCMScheduler(NoiseSchedule.sd15(), original_inference_steps=orig)
+        plan = s.plan(n, rng=jax.random.key(1))
+        out = s.sample_loop(plan, eps_model, lat, pass_step=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   atol=5e-5)
+
+
 def test_trajectory_matches_transcription():
     sched = NoiseSchedule.sd15()
     s = LCMScheduler(sched)
