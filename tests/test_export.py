@@ -163,6 +163,7 @@ def test_generate_artifact_matches_live_aggressive(tmp_path, rng):
             guidance_scale=3.5, **knobs)
 
 
+@pytest.mark.heavy
 def test_generate_export_bakes_cache_schedule(tmp_path, rng):
     """The aggressive preset's non-uniform ControlNet refresh SCHEDULE
     (--controlnet_cache_steps) bakes into the one-program artifact and

@@ -219,6 +219,7 @@ def test_vae_midsize_full_model(rng):
 
 # ------------------------------------------------------------- real size
 @skip_fullsize
+@pytest.mark.heavy
 def test_unet_realsize_full_model(rng):
     """The flagship check: 860M-param SD1.5 UNet, real config, 64x64
     latent, controlnet residual injection — fp32 vs the torch mirror."""

@@ -322,6 +322,7 @@ def test_distill_ema_target(distill_setup, rng):
 
 
 # ===================================================== guidance mode
+@pytest.mark.heavy
 def test_guidance_mode_descends_fixed_objective(distill_setup, rng):
     """mode="guidance" is plain regression onto the frozen teacher's
     guided ε — with the batch AND rng pinned, repeated steps are

@@ -357,6 +357,7 @@ def test_controlnet_cache_matches_manual_loop(pipe_and_params, rng):
     assert not np.allclose(np.asarray(got), np.asarray(exact))
 
 
+@pytest.mark.heavy
 def test_unet_cache_matches_manual_loop(pipe_and_params, rng):
     """unet_cache_interval=2 equals a host-side reimplementation of the
     DeepCache semantics (capture the deep feature at even steps via
@@ -448,6 +449,7 @@ def test_controlnet_cache_guess_mode_runs(pipe_and_params, rng):
     assert not np.array_equal(o, np.asarray(base))
 
 
+@pytest.mark.heavy
 def test_guess_mode_cache_refresh_in_cfg_off_window_keeps_zero_uncond(
     pipe_and_params, rng
 ):
@@ -632,6 +634,7 @@ def test_cfg_interval_matches_manual_loop(pipe_and_params, rng):
     assert not np.allclose(np.asarray(got), np.asarray(exact))
 
 
+@pytest.mark.heavy
 def test_cfg_interval_composes_with_caches(pipe_and_params, rng):
     """cfg_interval + both cache intervals run in one scan; each knob
     contributes its own divergence, and guess mode still runs."""

@@ -4,12 +4,14 @@ composites, shape/dtype/semantic checks under jit."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from edgestyle_tpu.models.efficientvit.sam import SamConfig
 from edgestyle_tpu.pipelines.preprocess import HEAD_NAMES, TryOnPreprocessor
 from tests.test_efficientvit import TINY_BB
 
 
+@pytest.mark.heavy
 def test_preprocessor_end_to_end(rng):
     cfg = SamConfig(backbone=TINY_BB, neck_depth=1, image_size=64)
     pp = TryOnPreprocessor(cfg)

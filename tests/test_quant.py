@@ -163,6 +163,7 @@ def test_interceptor_consumes_prequant_kernels(rng):
     assert rel < 0.08, rel
 
 
+@pytest.mark.heavy
 def test_pipeline_quant_int8_close_to_fp():
     from edgestyle_tpu.models.clip_text import CLIPTextConfig
     from edgestyle_tpu.models.unet import UNetConfig

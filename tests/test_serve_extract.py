@@ -167,6 +167,7 @@ def test_extract_subject_drops_when_no_fallback_available(tmp_path, rng):
     assert n == 0 and stats["dropped_no_box"] == 2
 
 
+@pytest.mark.heavy
 def test_person_box_from_auto_masks_tiny(rng):
     """Drive the real SAM auto-mask box path on the tiny config: returns a
     plausible in-frame box (or None cleanly when nothing passes)."""
