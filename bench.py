@@ -291,12 +291,12 @@ def bench_tryon_cfg():
 def bench_tryon_fast():
     """The recommended aggressive serving mode (--mode aggressive on
     tryon/serve; re-derived from the steered-quality data, VERDICT r4
-    item 2) — front-loaded 7-refresh ControlNet schedule + CFG window
-    (0, 0.5). Emitted by default so the serving rate is machine-visible
-    round over round. (r3/r4 measured the old knobs cfg0.4+cn3 as
+    item 2) — the front-loaded 7-refresh ControlNet schedule, the fastest
+    lever meeting steered SSIM >= 0.94 (0.9660 @ 1.55x). Emitted by
+    default so the serving rate is machine-visible round over round.
+    (r3/r4 measured the old knobs cfg0.4+cn3 as
     tryon_fast_cfg0.4_cn3_images_per_sec.)"""
-    return _tryon_bench("tryon_fast_cfg0.5_cnfront_images_per_sec",
-                        cfg_interval=(0.0, 0.5),
+    return _tryon_bench("tryon_fast_cnfront7_images_per_sec",
                         controlnet_cache_steps=(0, 1, 2, 4, 7, 11, 16))
 
 
@@ -316,15 +316,19 @@ def bench_tryon_lcm():
                         steps=4, guidance=1.0, cfg_interval=(0.0, 0.0))
 
 
-# Order matters: the exact-semantics headline FIRST (a driver timeout must
-# keep it), then the CHEAP regression signals (vae/sam/unet_cn/train — the
-# r3 driver timeout ate exactly these when they were queued last), then the
-# expensive variants. tryon_fast is the recommended aggressive serving mode
-# (see apps/tryon.py apply_serving_mode for the preset's current knobs).
+# Order matters twice over: the exact-semantics headline FIRST (a driver
+# timeout must keep it), then the CHEAP regression signals, then the
+# serving variants — and the two PROGRAMS WITH GIANT COMPILES (train's
+# backward, the fused photos→try-on graph) dead LAST, because their
+# cold remote compiles are the repeat offender that wedges the axon
+# tunnel (r4 driver: train/fused group timeouts; r5: two live wedges both
+# triggered inside bench_train's compile). Last place means a wedge can
+# only eat them, never the headline. tryon_fast is the recommended
+# aggressive serving mode (see apps/tryon.py apply_serving_mode).
 CONFIGS = {"tryon": bench_tryon, "vae": bench_vae, "sam": bench_sam,
-           "unet_cn": bench_unet_cn, "train": bench_train,
-           "tryon_b4": bench_tryon_b4, "fused": bench_fused,
-           "tryon_fast": bench_tryon_fast}
+           "unet_cn": bench_unet_cn, "tryon_b4": bench_tryon_b4,
+           "tryon_fast": bench_tryon_fast, "train": bench_train,
+           "fused": bench_fused}
 # Per-config INTERNAL deadlines (s) for "all" mode, enforced by a watchdog
 # thread inside the single child process. Generous on purpose: unused time
 # is not wasted (the next config starts immediately), the deadline only
@@ -353,7 +357,7 @@ METRIC_OF = {
     "train": "controllora_train_step_per_sample_s",
     "tryon_b4": "tryon_throughput_b4_images_per_sec",
     "fused": "fused_photos_to_tryon_s_20steps",
-    "tryon_fast": "tryon_fast_cfg0.5_cnfront_images_per_sec",
+    "tryon_fast": "tryon_fast_cnfront7_images_per_sec",
 }
 _CONFIG_OF_METRIC = {m: n for n, m in METRIC_OF.items()}
 

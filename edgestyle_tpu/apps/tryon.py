@@ -83,11 +83,13 @@ SERVING_MODES = {
     # (steered 0.9819, 1.38x)
     "quality": {"controlnet_cache_interval": 2},
     # aggressive tier (steered SSIM >= 0.94): front-loaded 7-refresh
-    # ControlNet schedule (DeepCache non-uniform; steered 0.9660 alone,
-    # beats uniform k=3 by +0.025 SSIM at the same refresh budget) + CFG
-    # window end 0.5 (the gentlest measured window)
-    "aggressive": {"controlnet_cache_steps": (0, 1, 2, 4, 7, 11, 16),
-                   "cfg_interval": (0.0, 0.5)},
+    # ControlNet schedule (DeepCache non-uniform; steered 0.9660 @ 1.55x,
+    # beats uniform k=3 by +0.025 SSIM at the same refresh budget). The
+    # r5 composite sweep measured every faster stack UNDER the tier bar —
+    # +cfg end 0.5 = 0.9292 @ 1.81x, +ToMe = 0.9386 @ 1.72x, cn k=2+ToMe
+    # = 0.9593 @ 1.47x (docs/experiments/steered_quality_r5.jsonl) — so
+    # the schedule ships alone; the faster combos stay explicit knobs.
+    "aggressive": {"controlnet_cache_steps": (0, 1, 2, 4, 7, 11, 16)},
     # speed-first draft mode, clearly labeled: steered SSIM 0.8556 at
     # 2.48x — use for previews/iteration, not final images
     "turbo": {"cfg_interval": (0.0, 0.4), "controlnet_cache_interval": 3,

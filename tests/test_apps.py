@@ -178,9 +178,11 @@ def test_serving_mode_presets():
 
     base = ["--subject", "s.jpg", "--clothes1", "a.jpg", "--clothes2", "b.jpg"]
     # aggressive tier (VERDICT r4 item 2): front-loaded ControlNet refresh
-    # schedule + CFG window end 0.5, steered SSIM >= 0.94
+    # schedule, the fastest lever meeting steered SSIM >= 0.94 (0.9660 @
+    # 1.55x; every faster composite measured under the bar — see
+    # SERVING_MODES comments / steered_quality_r5.jsonl)
     a = apply_serving_mode(tryon_args(base + ["--mode", "aggressive"]))
-    assert tuple(a.cfg_interval) == (0.0, 0.5)
+    assert tuple(a.cfg_interval) == (0.0, 1.0)
     assert tuple(a.controlnet_cache_steps) == (0, 1, 2, 4, 7, 11, 16)
     assert a.controlnet_cache_interval == 1  # schedule carries the cache
     assert a.unet_cache_interval == 1 and a.tome == 0.0
@@ -191,7 +193,6 @@ def test_serving_mode_presets():
         base + ["--mode", "aggressive", "--controlnet_cache_interval", "2"]))
     assert a.controlnet_cache_interval == 2
     assert a.controlnet_cache_steps is None
-    assert tuple(a.cfg_interval) == (0.0, 0.5)
 
     # a lower explicit --steps clamps the preset schedule into range
     a = apply_serving_mode(tryon_args(

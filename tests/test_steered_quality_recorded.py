@@ -62,3 +62,43 @@ def test_cfg_window_end_monotone(rows):
     assert {0.3, 0.4, 0.5} <= set(ends)
     # a longer guidance window diverges less from exact
     assert ends[0.5] > ends[0.4] > ends[0.3]
+
+
+R5_PATH = os.path.join(os.path.dirname(__file__), "..", "docs",
+                       "experiments", "steered_quality_r5.jsonl")
+FRONT = [0, 1, 2, 4, 7, 11, 16]
+
+
+@pytest.fixture(scope="module")
+def r5_rows():
+    if not os.path.exists(R5_PATH):
+        pytest.skip("r5 composite archive missing")
+    with open(R5_PATH) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def test_r5_preset_tiers_hold(rows, r5_rows):
+    """VERDICT r4 item 2: the SHIPPED presets' steered SSIM meets their
+    labeled tier, and every measured FASTER composite sits under the
+    aggressive bar — the recorded basis for the r5 preset table
+    (apps/tryon.py SERVING_MODES)."""
+    # quality = cn k=2 (r4 single-lever row): >= 0.98
+    k2 = _one(rows, cache_interval=2, cfg_interval=[0.0, 1.0], tome=0.0)
+    assert k2["tryon_ssim_exact_vs_cached"] >= 0.98
+    # conservative = ToMe alone (r4): >= 0.98
+    tome = _one(rows, cache_interval=1, cfg_interval=[0.0, 1.0], tome=0.5)
+    assert tome["tryon_ssim_exact_vs_cached"] >= 0.98
+    # aggressive = front-loaded schedule alone (r4): >= 0.94
+    fl = _one(rows, cache_steps=FRONT)
+    assert fl["tryon_ssim_exact_vs_cached"] >= 0.94
+    # the r5 composites that would be FASTER all miss the >= 0.94 bar —
+    # which is why aggressive ships the schedule alone
+    fl_cfg = _one(r5_rows, cache_steps=FRONT, cfg_interval=[0.0, 0.5])
+    fl_tome = _one(r5_rows, cache_steps=FRONT, tome=0.5)
+    cn2_tome = _one(r5_rows, cache_interval=2, tome=0.5)
+    for r in (fl_cfg, fl_tome):
+        assert r["cached_speedup"] > fl.get("cached_speedup", 1.55)
+        assert r["tryon_ssim_exact_vs_cached"] < 0.94
+    # cn k=2 + ToMe: meets 0.94 but is SLOWER than the schedule alone
+    assert cn2_tome["tryon_ssim_exact_vs_cached"] >= 0.94
+    assert cn2_tome["cached_speedup"] < 1.55
