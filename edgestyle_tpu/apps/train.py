@@ -117,6 +117,12 @@ def parse_args(argv=None):
                         "(depth 2) so host collate overlaps device steps "
                         "(the reference DataLoader num_workers analog, "
                         "train...py:426,973)")
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="remat the per-microbatch loss (jax.checkpoint): "
+                        "recompute activations in the backward instead of "
+                        "saving them — needed to fit the reference recipe "
+                        "bs2 x ga32 @ 512px in one chip's HBM (reference "
+                        "flag of the same name)")
     p.add_argument("--allow_tf32", action="store_true",
                    help="compat no-op (TPU matmuls are bf16/fp32 via XLA)")
     p.add_argument("--set_grads_to_none", action="store_true",
@@ -228,6 +234,7 @@ def main(argv=None):
     tcfg = TrainConfig(
         snr_gamma=args.snr_gamma,
         max_grad_norm=args.max_grad_norm,
+        remat=args.gradient_checkpointing,
         optimizer=args.optimizer,
         learning_rate=lr,
         adam_beta1=args.adam_beta1,

@@ -38,6 +38,13 @@ from edgestyle_tpu.training.prodigy import get_d, prodigy
 class TrainConfig:
     snr_gamma: Optional[float] = 5.0
     max_grad_norm: float = 1.0
+    # jax.checkpoint the per-microbatch loss: activations are recomputed
+    # during the backward instead of saved across it. Required to fit the
+    # reference recipe shape (bs2 x ga32 @ 512px) in one v5e chip's HBM —
+    # the r5 soak measured the un-remat'd backward OOMing on dW conv
+    # temps. Numerics are EXACT (remat recomputes the same values);
+    # tested equal to the un-remat'd step.
+    remat: bool = False
     optimizer: str = "prodigy"  # "prodigy" | "adamw" (reference train...py:906-948)
     learning_rate: float = 1.0
     adam_beta1: float = 0.9
@@ -237,16 +244,21 @@ def make_train_step(pipe: EdgeStylePipeline, cfg: TrainConfig, sched=None):
     runs as lax.scan inside the single jitted step."""
     sched = sched or NoiseSchedule.sd15()
     opt = make_optimizer(cfg)
-    grad_fn = jax.grad(controlnet_loss_fn, has_aux=True)
+
+    def _loss(trainable, frozen, mb, r):
+        # close over the static objects: jax.checkpoint only accepts
+        # array arguments
+        return controlnet_loss_fn(trainable, frozen, pipe, sched, cfg, mb, r)
+
+    loss_fn = jax.checkpoint(_loss) if cfg.remat else _loss
+    grad_fn = jax.grad(loss_fn, has_aux=True)
 
     def train_step(state, frozen, batch, rng):
         def micro(carry, inp):
             g_acc, rng = carry
             mb, = inp
             rng, r = jax.random.split(rng)
-            grads, aux = grad_fn(
-                state["trainable"], frozen, pipe, sched, cfg, mb, r
-            )
+            grads, aux = grad_fn(state["trainable"], frozen, mb, r)
             g_acc = jax.tree.map(
                 lambda a, g: a + g.astype(jnp.float32) / cfg.grad_accum, g_acc, grads
             )
@@ -259,9 +271,7 @@ def make_train_step(pipe: EdgeStylePipeline, cfg: TrainConfig, sched=None):
             # rng split, g/1 + 0 == g, grads are already fp32)
             rng, r = jax.random.split(rng)
             mb = jax.tree.map(lambda x: x[0], batch)
-            grads, aux = grad_fn(
-                state["trainable"], frozen, pipe, sched, cfg, mb, r
-            )
+            grads, aux = grad_fn(state["trainable"], frozen, mb, r)
             grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
             losses = aux["loss"][None]
         else:

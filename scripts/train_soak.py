@@ -110,7 +110,7 @@ def main():
         "--resolution", "512",
         "--train_batch_size", "2", "--gradient_accumulation_steps", "32",
         "--optimizer", "prodigy", "--learning_rate", "1.0",
-        "--snr_gamma", "5.0",
+        "--snr_gamma", "5.0", "--gradient_checkpointing",
         "--num_train_epochs", "100000",
         "--max_train_steps", str(args.steps),
         "--checkpointing_steps", str(args.ckpt_every),

@@ -185,6 +185,30 @@ def test_adamw_optimizer_option():
 
 
 @pytest.mark.heavy
+def test_remat_step_matches_exact(train_setup):
+    """remat=True (jax.checkpoint around the per-microbatch loss — the
+    HBM lever that fits the reference recipe shape bs2 x ga32 @ 512px on
+    one chip, r5 soak) recomputes the SAME activations: trainables and
+    loss after one step must match the un-remat'd program to float
+    tolerance."""
+    pipe, _, frozen, state = train_setup
+    batch = _batch(11, accum=2)
+    outs = {}
+    for remat in (False, True):
+        cfg = TrainConfig(grad_accum=2, lr_total_steps=None, remat=remat)
+        step = jax.jit(make_train_step(pipe, cfg))
+        ns, m = step(state, frozen, batch, jax.random.key(9))
+        outs[remat] = (ns, m)
+    a, b = outs[False], outs[True]
+    np.testing.assert_allclose(float(a[1]["loss"]), float(b[1]["loss"]),
+                               rtol=1e-6)
+    for x, y in zip(jax.tree.leaves(a[0]["trainable"]),
+                    jax.tree.leaves(b[0]["trainable"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.heavy
 def test_grad_accum_one_fast_path(train_setup):
     """The r3 grad_accum==1 fast path (no scan/accumulator) must be exactly
     one grad + optimizer update with the same rng split the scan performed."""
