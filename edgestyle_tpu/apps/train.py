@@ -208,6 +208,18 @@ def main(argv=None):
         "unet": params["unet"],
         "static": params["controlnet"]["static"],
     }
+    if dtype == "bfloat16":
+        # mixed precision: FROZEN weights are stored bf16 (the reference's
+        # fp16 autocast intent; the denoise math already computes in bf16
+        # — same convention as bench.py's train config). Trainables stay
+        # fp32 master weights for the optimizer. At 512px this halves
+        # ~5.7 GB of resident frozen params — without it the bs1 x ga32
+        # remat step OOMs at RUNTIME on a 16 GB chip (r5 soak).
+        frozen = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p,
+            frozen,
+        )
 
     # loop length: explicit max_train_steps, else epochs x steps-per-epoch
     # (reference train...py:1034-1038; synthetic mode has no epoch notion)
