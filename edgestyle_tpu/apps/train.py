@@ -271,6 +271,11 @@ def main(argv=None):
     trainable = init_trainable(pipe, rng, params["unet"],
                                args.controllora_linear_rank,
                                args.controllora_conv2d_rank)
+    # free the fp32 originals: `frozen` (bf16) is the training-time copy,
+    # and keeping both is ~7 GB of dead HBM at full size — enough to tip
+    # the 512px remat step into runtime ResourceExhausted (r5 soak;
+    # bench.py's train config always did the same `del`)
+    del params
     opt = make_optimizer(tcfg)
     state = {
         "trainable": trainable,
