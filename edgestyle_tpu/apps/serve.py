@@ -222,8 +222,9 @@ class BatchingTryOn:
     worker collects up to ``max_batch`` queued requests within
     ``window_s`` of the first, groups them by step count (steps is a
     static jit argument — different counts are different programs),
-    preprocesses each, and runs ONE generate for the group with per-sample
-    guidance and per-request seeds. Single-chip throughput at B=4 is ~14%
+    preprocesses the group's photos in ONE batched pose + ONE batched SAM
+    program (prepare_cond_batch), and runs ONE generate for the group with
+    per-sample guidance and per-request seeds. Single-chip throughput at B=4 is ~14%
     over B=1 and the batch shards over chips via generate_dp (BASELINE.md);
     per-request results are identical to unbatched calls
     (tests/test_pipeline.py::test_batched_requests_match_sequential).
@@ -283,6 +284,22 @@ class BatchingTryOn:
 
         while True:
             batch = self._collect()
+            # batched preprocessing for the WHOLE collected window (even
+            # across step groups — steps only split the generation): one
+            # pose program + one SAM program for all 3N photos. The
+            # round-5 load test measured 6 serialized programs per request
+            # (~9 s each) dominating end-to-end serving.
+            if len(batch) > 1 and hasattr(self.system, "prepare_cond_batch"):
+                try:
+                    conds = self.system.prepare_cond_batch(
+                        [r["subject"] for r in batch],
+                        [r["c1"] for r in batch],
+                        [r["c2"] for r in batch],
+                    )
+                    for r, c in zip(batch, conds):
+                        r["cond"] = c
+                except Exception:  # noqa: BLE001 — fall back to per-group
+                    pass
             groups = collections.defaultdict(list)
             for r in batch:
                 groups[r["steps"]].append(r)
@@ -293,14 +310,27 @@ class BatchingTryOn:
         import jax.numpy as jnp
 
         try:
-            ids, negs, conds = [], [], []
+            ids, negs = [], []
             for r in rs:
                 i, n = encode_prompts(self.tokenizer, self.miner, r["prompt"],
                                       r["negative"], r["c1"])
                 ids.append(i)
                 negs.append(n)
-                conds.append(self.system.prepare_cond(r["subject"], r["c1"],
-                                                      r["c2"]))
+            # conds are usually precomputed for the whole collect window
+            # in _worker (one batched pose + SAM pass); fill any missing
+            # ones here (single-request windows, fallback paths, or test
+            # doubles that expose only prepare_cond)
+            missing = [r for r in rs if "cond" not in r]
+            if len(missing) > 1 and hasattr(self.system, "prepare_cond_batch"):
+                for r, c in zip(missing, self.system.prepare_cond_batch(
+                        [r["subject"] for r in missing],
+                        [r["c1"] for r in missing],
+                        [r["c2"] for r in missing])):
+                    r["cond"] = c
+            for r in missing:
+                r.setdefault("cond", self.system.prepare_cond(
+                    r["subject"], r["c1"], r["c2"]))
+            conds = [r["cond"] for r in rs]
             out = self.system.generate_batch(
                 conds,
                 jnp.concatenate(ids), jnp.concatenate(negs), steps=steps,

@@ -268,12 +268,6 @@ class TryOnSystem:
             apply_serving_mode(args)
         rng = rng if rng is not None else jax.random.key(0)
         k = jax.random.split(rng, 3)
-        # branch-0 cond source: the reference DEFAULT is the head image —
-        # --use_agnostic_images is store_true in every reference script
-        # (train...py:559, inference.py:294) and the README recipe never
-        # passes it, so the published checkpoints expect head crops
-        self.use_agnostic = bool(getattr(args, "use_agnostic_images", False))
-
         self.pose_net = BodyPoseNet()
         self.preproc = TryOnPreprocessor(dtype=jnp.bfloat16)
         self._live_pipe = EdgeStylePipeline(
@@ -390,39 +384,86 @@ class TryOnSystem:
             )
 
     # -------------------------------------------------------------- pose
+    def _pose_programs(self):
+        """Hoisted jitted pose programs. A fresh ``jax.jit(closure)`` per
+        call (the pre-r5 form) re-traces/lowers the whole pose graph on
+        EVERY request — the persistent cache only skips XLA compilation —
+        and the skeleton render ran eagerly (one tunnel RPC per op on the
+        TPU backend). Both were real costs in the round-5 serve load test
+        (~9 s/request preprocessing, BASELINE.md)."""
+        if not hasattr(self, "_pose_jits"):
+            from edgestyle_tpu.models.openpose import (
+                find_peaks,
+                render_pose,
+                score_limb_candidates,
+                smooth_heatmaps,
+            )
+
+            jax = self.jax
+
+            @jax.jit
+            def run(params, x):
+                paf, heat = self.pose_net.apply({"params": params}, x)
+                heat_s = smooth_heatmaps(heat, 3.0)
+                peaks = find_peaks(heat_s)
+                scores, ok = score_limb_candidates(paf, peaks)
+                return peaks, scores, ok
+
+            render = jax.jit(
+                jax.vmap(lambda kp01: render_pose(kp01, (512, 512)))
+            )
+            self._pose_jits = (run, render)
+        return self._pose_jits
+
     def detect_pose(self, img01: np.ndarray) -> Tuple[Optional[np.ndarray], np.ndarray]:
         """(512,512,3) [0,1] → (keypoints (18,2) px or None, skeleton image)."""
+        kps, skels = self.detect_pose_batch(np.asarray(img01)[None])
+        return kps[0], skels[0]
+
+    def detect_pose_batch(self, imgs01):
+        """(B,H,W,3) [0,1] → (list of B (18,2) px keypoint arrays or None,
+        (B,512,512,3) float32 skeleton renders — zeros where no person).
+
+        ONE pose-net dispatch for the whole batch (find_peaks /
+        score_limb_candidates are batch-native), per-sample host assembly
+        (the original algorithm's greedy matching, numpy), then ONE
+        vmapped skeleton render — 2 device programs for B images instead
+        of the single path's 2·B."""
         jax, jnp = self.jax, self.jnp
         from edgestyle_tpu.models.openpose import (
+            Peaks,
             assemble_people_host,
             filter_and_pick_largest,
-            find_peaks,
             preprocess_for_openpose,
-            render_pose,
-            score_limb_candidates,
-            smooth_heatmaps,
         )
 
-        x = preprocess_for_openpose(jnp.asarray(img01)[None])
-
-        @jax.jit
-        def run(params, x):
-            paf, heat = self.pose_net.apply({"params": params}, x)
-            hm_h = x.shape[1] // 8
-            heat_s = smooth_heatmaps(heat, 3.0)
-            peaks = find_peaks(heat_s)
-            scores, ok = score_limb_candidates(paf, peaks)
-            return peaks, scores, ok
-
-        peaks, scores, ok = run(self.pose_params, x)
-        people = assemble_people_host(peaks, np.asarray(scores), np.asarray(ok))
-        person = filter_and_pick_largest(people)
-        if person is None:
-            return None, np.zeros((512, 512, 3), np.float32)
+        run, render = self._pose_programs()
+        x = preprocess_for_openpose(jnp.asarray(imgs01))
+        peaks, scores, ok = jax.device_get(run(self.pose_params, x))
         hm = x.shape[1] // 8
-        kp01 = person["keypoints"] / hm
-        skel = np.asarray(render_pose(jnp.asarray(kp01), (512, 512)))
-        return person["keypoints"] * (512.0 / hm), skel
+        kps_px, kp01s, found = [], [], []
+        for i in range(x.shape[0]):
+            people = assemble_people_host(
+                Peaks(xy=peaks.xy[i : i + 1], score=peaks.score[i : i + 1],
+                      valid=peaks.valid[i : i + 1]),
+                scores[i : i + 1], ok[i : i + 1],
+            )
+            person = filter_and_pick_largest(people)
+            if person is None:
+                kps_px.append(None)
+                kp01s.append(np.full((18, 2), np.nan, np.float32))
+                found.append(False)
+            else:
+                kps_px.append(person["keypoints"] * (512.0 / hm))
+                kp01s.append(np.asarray(person["keypoints"], np.float32) / hm)
+                found.append(True)
+        # np.array (not asarray): device arrays view as read-only and the
+        # no-person rows are zeroed in place below
+        skels = np.array(
+            render(jnp.asarray(np.stack(kp01s))), dtype=np.float32
+        )
+        skels[~np.asarray(found)] = 0.0
+        return kps_px, skels
 
     # -------------------------------------------------------------- masks
     def extract(self, img01: np.ndarray, keypoints_px) -> Dict[str, np.ndarray]:
@@ -445,6 +486,34 @@ class TryOnSystem:
             "head": np.asarray(out.head, np.float32),
             "clothes": np.asarray(out.clothes, np.float32),
             "subject_score": float(out.subject_score),
+        }
+
+    def extract_batch(self, imgs01, keypoints_px) -> Dict[str, np.ndarray]:
+        """(B,H,W,3) [0,1] + list of B (18,2) px keypoints (None = missing)
+        → dict of batched composites: ONE vmapped SAM program (shared
+        encoder + four decode heads + mask morphology) for all B images
+        instead of B sequential dispatches."""
+        jax, jnp = self.jax, self.jnp
+        kps = np.stack([
+            np.asarray(k, np.float32) if k is not None
+            else np.full((18, 2), np.nan, np.float32)
+            for k in keypoints_px
+        ])
+        if not hasattr(self, "_extract_batch_jit"):
+            self._extract_batch_jit = jax.jit(
+                jax.vmap(lambda p, i, k: self.preproc(p, i, k),
+                         in_axes=(None, 0, 0))
+            )
+        out = self._extract_batch_jit(
+            self.sam_params, jnp.asarray(imgs01, jnp.float32),
+            jnp.asarray(kps)
+        )
+        return {
+            "subject": np.asarray(out.subject, np.float32),
+            "agnostic": np.asarray(out.agnostic, np.float32),
+            "head": np.asarray(out.head, np.float32),
+            "clothes": np.asarray(out.clothes, np.float32),
+            "subject_score": np.asarray(out.subject_score, np.float32),
         }
 
     # ----------------------------------------------------------- generate
@@ -471,6 +540,11 @@ class TryOnSystem:
         their exact-semantics defaults when ``args`` is None). Factored
         out of __init__ so tests that assemble a TryOnSystem around tiny
         models (TryOnSystem.__new__) can install consistent defaults."""
+        # branch-0 cond source: the reference DEFAULT is the head image —
+        # --use_agnostic_images is store_true in every reference script
+        # (train...py:559, inference.py:294) and the README recipe never
+        # passes it, so the published checkpoints expect head crops
+        self.use_agnostic = bool(getattr(args, "use_agnostic_images", False))
         self.cache_interval = int(
             getattr(args, "controlnet_cache_interval", 1) or 1
         )
@@ -568,6 +642,34 @@ class TryOnSystem:
             "clothes1": ex_1["clothes"], "clothes1_pose": pose_1,
             "clothes2": ex_2["clothes"], "clothes2_pose": pose_2,
         }
+
+    def prepare_cond_batch(self, subjects, clothes1s, clothes2s):
+        """B photo triples → list of B cond dicts, equal per request to
+        ``[prepare_cond(s, c1, c2) for ...]`` (pinned by tests/
+        test_tryon_e2e.py) but with ALL 3B images through ONE pose program
+        and ONE SAM program. This is the serving-throughput lever the
+        round-5 load test identified: generation batches across concurrent
+        requests, preprocessing was 6 serialized programs per request
+        (~9 s/request of the 84 s group latency, BASELINE.md)."""
+        b = len(subjects)
+        imgs = np.stack([
+            np.asarray(a, np.float32)
+            for a in (*subjects, *clothes1s, *clothes2s)
+        ])
+        kps, skels = self.detect_pose_batch(imgs)
+        ex = self.extract_batch(imgs, kps)
+        key = "agnostic" if self.use_agnostic else "head"
+        return [
+            {
+                "agnostic": ex[key][i],
+                "subject_pose": skels[i],
+                "clothes1": ex["clothes"][b + i],
+                "clothes1_pose": skels[b + i],
+                "clothes2": ex["clothes"][2 * b + i],
+                "clothes2_pose": skels[2 * b + i],
+            }
+            for i in range(b)
+        ]
 
     def __call__(self, subject01, clothes1_01, clothes2_01, prompt_ids, neg_ids,
                  steps=20, guidance=3.5, seed=0):

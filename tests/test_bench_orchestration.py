@@ -75,6 +75,21 @@ def test_wedge_before_any_measurement_gets_error_line():
     assert "value" in final["c_metric"]
 
 
+def test_cold_cascade_respawns_until_all_attempted():
+    # Two configs wedge back to back (the cold-cache cascade that hit the
+    # r5 warm-up run): the orchestrator must keep respawning — a third
+    # child — until every config is attempted. The old two-attempt cap
+    # abandoned everything after the second wedge with budget to spare.
+    rc, lines = _run("tryon:ok,b:hang0:3,c:hang0:3,d:ok", budget=300)
+    assert rc == 0
+    final, _ = _records(lines)
+    assert "value" in final["tryon_metric"]
+    assert "error" in final["b"] and "deadline" in final["b"]["error"]
+    assert "error" in final["c"] and "deadline" in final["c"]["error"]
+    assert "value" in final["d_metric"]  # ran in the THIRD child
+    assert lines[-1]["metric"] == "tryon_metric" and "value" in lines[-1]
+
+
 def test_budget_exhaustion_is_explicit():
     # budget below the parent's 120 s spawn threshold: nothing runs, but
     # every config still gets a line.

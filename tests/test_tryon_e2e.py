@@ -60,6 +60,47 @@ def test_tryon_system_end_to_end(tiny_system, rng):
     assert np.isfinite(out).all()
 
 
+def test_prepare_cond_batch_matches_sequential(tiny_system, rng):
+    """The serve batcher's grouped preprocessing (ONE pose program + ONE
+    vmapped SAM program for the group's 3B photos) must reproduce the
+    single-request prepare_cond outputs per request."""
+    sys_ = tiny_system
+    # the tiny SAM config works at 32px; prepare_cond feeds the SAME image
+    # to pose + SAM, so build 32px triples (pose still runs — at its own
+    # internal resize — and typically finds no person in noise, which is
+    # exactly the None-keypoints path the batcher must also reproduce)
+    triples = [
+        [rng.random((32, 32, 3)).astype(np.float32) for _ in range(3)]
+        for _ in range(2)
+    ]
+    seq = [sys_.prepare_cond(s, c1, c2) for s, c1, c2 in triples]
+    got = sys_.prepare_cond_batch(
+        [t[0] for t in triples], [t[1] for t in triples],
+        [t[2] for t in triples],
+    )
+    assert len(got) == len(seq)
+    for a, b in zip(got, seq):
+        assert sorted(a) == sorted(b)
+        for k in b:
+            np.testing.assert_allclose(
+                a[k], b[k], atol=2e-5,
+                err_msg=f"cond {k!r} differs batched vs sequential",
+            )
+
+
+def test_detect_pose_batch_matches_single(tiny_system, rng):
+    sys_ = tiny_system
+    imgs = rng.random((2, 512, 512, 3)).astype(np.float32)
+    kps_b, skels_b = sys_.detect_pose_batch(imgs)
+    for i in range(2):
+        kp, skel = sys_.detect_pose(imgs[i])
+        if kp is None:
+            assert kps_b[i] is None
+        else:
+            np.testing.assert_allclose(kps_b[i], kp, atol=1e-5)
+        np.testing.assert_allclose(skels_b[i], skel, atol=1e-5)
+
+
 def test_load_image_512_pads_nonsquare(tmp_path, rng):
     from PIL import Image
 
